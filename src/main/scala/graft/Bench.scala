@@ -1,24 +1,80 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.Extract
+import graft.model.RawDoc
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Driver-run benchmark: headline queries + the flagship extraction job.
+  * Prints ONE JSON line. `SPARK_GRAFT_SF_DIR` picks the TPC-H-ish inputs;
+  * the extraction benchmark runs on the deterministic synthetic bench corpus
+  * (generated once under /root/repo/data, generation excluded from timing).
+  */
 object Bench {
+
+  val BenchRawPath = "/root/repo/data/bench_raw.parquet"
+  val BenchOutPath = "/root/repo/data/bench_out.parquet"
+
+  def ensureBenchCorpus(spark: SparkSession, nDocs: Long): Unit = {
+    val marker = new java.io.File(s"$BenchRawPath/_GRAFT_N$nDocs")
+    if (marker.exists()) return
+    import spark.implicits._
+    spark.range(nDocs).repartition(spark.sparkContext.defaultParallelism)
+      .map(i => graft.corpus.SyntheticCorpus.rawDoc(graft.corpus.SyntheticCorpus.docIdFor(i)))
+      .write.mode(SaveMode.Overwrite).parquet(BenchRawPath)
+    marker.createNewFile()
+  }
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** End-to-end extraction: scan → mapPartitions extract → write. Returns
+    * (seconds, docs). */
+  def extractionJob(spark: SparkSession, chunked: Boolean): (Double, Long) = {
+    import spark.implicits._
+    val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath).as[RawDoc]
+    val sec = time {
+      val ex = if (chunked) Extract.runChunked(raw) else Extract.run(raw)
+      Extract.good(ex).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
+    }
+    val n = spark.read.parquet(BenchOutPath).count()
+    (sec, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    ensureBenchCorpus(spark, nDocs)
+    Fixtures.ensure(spark)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // flagship: extraction throughput (docs/sec printed separately)
+    val (extractSec, extractedDocs) = extractionJob(spark, chunked = false)
+    results += "extract" -> extractSec
+    val (chunkedSec, _) = extractionJob(spark, chunked = true)
+    results += "extract_chunked" -> chunkedSec
+    // headline queries (same entries the correctness gate runs)
+    val headline = Seq("x1_extract_spans", "q_all_text", "q_count_by_kind", "q_doc_stats",
+      "q_heading_paths", "t_fingerprint", "t_quality", "d_minhash", "d_simhash",
+      "s_ann_top1", "r_q1", "r_top_customers")
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        results += name -> time { fn(spark, sfDir).write.mode(SaveMode.Overwrite).format("noop").save() }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    val docsPerSec = if (extractSec > 0) extractedDocs / extractSec else 0.0
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":${f"$docsPerSec%.1f"},"bench_docs":$extractedDocs,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

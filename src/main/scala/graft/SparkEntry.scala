@@ -1,13 +1,338 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Extract, Lineage}
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.model.RawDoc
+import graft.multimodal.Multimodal
+import graft.queries.SpanQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7 + builder prompt).
+  *
+  * Three query groups:
+  *  - `x*`/`q*`/`m*`/`ops*`: the extraction engine + span algebra over the
+  *    deterministic synthetic corpus (Fixtures). Their DuckDB oracles read
+  *    the SAME parquet fixtures via absolute `read_parquet` paths; the
+  *    `expected_docs` surface is produced by the sequential oracle extractor,
+  *    so `x1` hash-equality == the span-sequence-equality gate.
+  *  - `t*`/`d*`/`s*`: training-data pipeline operators (text analysis, dedup,
+  *    similarity) over the driver's `documents`/`embeddings` tables.
+  *  - `r*`: relational demonstrations over the TPC-H-ish tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def fixturesSql(table: String): String =
+    s"read_parquet('${Fixtures.Dir}/$table.parquet/*.parquet')"
+
+  /** Flagship: end-to-end distributed extraction of a fresh synthetic corpus
+    * slice (sf0.001-scale), flattened to spans. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val raw = Fixtures.rawCorpus(spark, 200)
+    val docs = Extract.good(Extract.run(raw)).toDF()
+    SpanQueries.flattenSpans(docs)
+  }
+
+  // ------------------------------------------------------------------ SQL
+  // DuckDB expression fragments shared across oracles (kept in one place so
+  // Spark- and SQL-side semantics stay in lockstep).
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def stopList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val enStop = stopList(Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "was"))
+  private val deStop = stopList(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "sich"))
+  private val frStop = stopList(Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"))
+  private val esStop = stopList(Seq("el", "los", "y", "es", "en", "un", "una", "por", "con", "para"))
+  private val headingRx = "'^heading[1-9]$'"
+
+  private def headingPathsSql: String = {
+    val lastCols = (1 to 9).map { l =>
+      s"""last_value(CASE WHEN kind = 'heading$l' THEN text END IGNORE NULLS) OVER w AS _t$l, """ +
+      s"""last_value(CASE WHEN kind = 'heading$l' THEN "offset" END IGNORE NULLS) OVER w AS _o$l"""
+    }.mkString(", ")
+    val valid = (1 to 9).map { l =>
+      val shallower = (1 until l).map(j => s"coalesce(_o$j, -1)")
+      val maxShallower = shallower match {
+        case Seq() => "-1"
+        case Seq(one) => one
+        case many => s"greatest(${many.mkString(", ")})"
+      }
+      s"CASE WHEN _o$l IS NOT NULL AND _o$l > $maxShallower THEN _t$l END"
+    }.mkString(", ")
+    s"""WITH ex AS (SELECT doc_id, u.kind AS kind, u.text AS text, u."offset" AS "offset"
+       |  FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})),
+       |wl AS (SELECT doc_id, kind, text, "offset", $lastCols FROM ex
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT doc_id, "offset", concat_ws(' > ', $valid) AS heading_path FROM wl""".stripMargin
+  }
+
+  private def sectionTextSql(needle: String): String =
+    s"""WITH d AS (SELECT doc_id, spans FROM ${fixturesSql("docs")}),
+       |m AS (SELECT doc_id, spans, list_filter(spans, s -> regexp_matches(s.kind, $headingRx)
+       |        AND contains(lower(s.text), '$needle')) AS ms FROM d),
+       |st AS (SELECT doc_id, spans, ms[1].offset AS start_off,
+       |        CAST(substr(ms[1].kind, 8, 1) AS INTEGER) AS start_lvl FROM m WHERE len(ms) > 0),
+       |en AS (SELECT doc_id, spans, start_off,
+       |        coalesce(list_min(list_transform(list_filter(spans, s ->
+       |          regexp_matches(s.kind, $headingRx) AND TRY_CAST(substr(s.kind, 8, 1) AS INTEGER) <= start_lvl
+       |          AND s.offset > start_off), s -> s.offset)), 2147483647) AS end_off FROM st)
+       |SELECT doc_id, array_to_string(list_transform(list_filter(spans, s ->
+       |  s.offset >= start_off AND s.offset < end_off AND s.kind NOT IN ('table', 'image')
+       |  AND s.text <> ''), s -> s.text), chr(10)) AS text FROM en""".stripMargin
+
+  private val cosSql =
+    """list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |/ greatest(sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |  * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 1e-12)""".stripMargin
+
+  // -------------------------------------------------------------- queries
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction engine (fixtures; the correctness gate) ----
+    "x1_extract_spans" -> ((s, _) => SpanQueries.flattenSpans(Fixtures.docs(s))),
+    "x2_quarantine" -> ((s, _) =>
+      Fixtures.raw(s).select(col("doc_id"))
+        .join(Fixtures.docs(s).select(col("doc_id")), Seq("doc_id"), "left_anti")),
+    "x3_compare_oracle" -> ((s, _) =>
+      SpanQueries.compare(Fixtures.docs(s), Fixtures.expected(s))),
+
+    // ---- span-query algebra ----
+    "q_all_text" -> ((s, _) => SpanQueries.allText(Fixtures.docs(s))),
+    "q_count_by_kind" -> ((s, _) => SpanQueries.countByKind(Fixtures.docs(s))),
+    "q_toc" -> ((s, _) => SpanQueries.toc(Fixtures.docs(s))),
+    "q_doc_stats" -> ((s, _) => SpanQueries.docStats(Fixtures.docs(s))
+      .select(col("doc_id"), col("n_spans").cast("long"), col("n_images").cast("long"),
+        col("n_tables").cast("long"), col("n_headings").cast("long"))
+      .toDF("doc_id", "n_spans", "n_images", "n_tables", "n_headings")),
+    "q_section_text" -> ((s, _) => SpanQueries.sectionText(Fixtures.docs(s), "shopping")),
+    "q_first_heading" -> ((s, _) =>
+      SpanQueries.findFirst(Fixtures.docs(s),
+          sp => sp.getField("kind").rlike("^heading[1-9]$"))
+        .where(col("first").isNotNull)
+        .select(col("doc_id"), col("first.kind").as("kind"),
+          col("first.text").as("title"), col("first.offset").as("offset"))),
+    "q_heading_paths" -> ((s, _) =>
+      SpanQueries.headingPaths(Fixtures.docs(s))
+        .select(col("doc_id"), col("offset"), col("heading_path"))),
+    "q_siblings" -> ((s, _) =>
+      SpanQueries.siblings(Fixtures.docs(s))
+        .select(col("doc_id"), col("offset"), col("section_off"),
+          col("prev_text"), col("next_text"))),
+    "q_concat_self" -> ((s, _) => {
+      val d = Fixtures.docs(s)
+      SpanQueries.concatDocs(d, d).select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+    }),
+    "m_media_join" -> ((s, _) =>
+      Multimodal.joinImageSpans(Fixtures.docs(s), Fixtures.media(s))
+        .select(col("doc_id"), col("media_ref"), col("offset"), col("content_type"), col("name"))),
+    "m_decode" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.decodeImageMeta(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
+    }),
+    "m_frames" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
+    }),
+    "ops_lineage" -> ((s, _) => {
+      import s.implicits._
+      Fixtures.ensure(s)
+      val rows = Lineage.runBatched(s, Fixtures.RawPath, s"${Fixtures.Dir}/../lineage_out", numBatches = 4)
+      rows.toDS().toDF().select(col("batch_id"), col("doc_count"), col("span_count"), col("error_count"))
+    }),
+
+    // ---- text analysis (driver documents table) ----
+    "t_fingerprint" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "t_token_count" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "t_quality" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "t_lang" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))),
+    "t_subwords" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))),
+
+    // ---- dedup ----
+    "d_exact_dups" -> ((s, dir) => Dedup.exactDuplicates(documents(s, dir))),
+    "d_drop_exact" -> ((s, dir) => Dedup.dropExactDuplicates(documents(s, dir))
+      .select(col("doc_id"))),
+    "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.5)),
+    "d_minhash" -> ((s, dir) => Dedup.minHashNearDuplicates(documents(s, dir), 0.5)),
+    "d_simhash" -> ((s, dir) => Dedup.simHashNearDuplicates(documents(s, dir), 3)),
+    "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
+
+    // ---- similarity search ----
+    "s_ann_top1" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, 1)
+    }),
+    "s_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e.where(col("vec_id") < 20), e, 5)
+    }),
+
+    // ---- relational demonstrations (TPC-H-ish tables) ----
+    "r_q1" -> ((s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        count(lit(1)).as("n"))),
+    "r_top_customers" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("n_orders").desc, col("c_custkey").asc).limit(10)
+        .select(col("c_custkey"), col("c_name"), col("n_orders"))
+    }),
+    "r_order_seq" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+    }),
+    "r_events_hour" -> ((s, dir) => s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("string").as("h"))
+      .agg(count(lit(1)).as("n")))
+  )
+
+  // --------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "x1_extract_spans" ->
+      s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u.offset AS offset
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("expected_docs")})""".stripMargin,
+    "x2_quarantine" ->
+      s"SELECT doc_id FROM (SELECT DISTINCT doc_id FROM ${fixturesSql("raw_docs")}) WHERE doc_id LIKE 'doc-poison-%'",
+    "x3_compare_oracle" ->
+      s"""SELECT doc_id, true AS equal, false AS missing_extracted, false AS missing_oracle
+         |FROM ${fixturesSql("expected_docs")}""".stripMargin,
+    "q_all_text" ->
+      s"""SELECT doc_id, array_to_string(list_transform(list_filter(spans,
+         |  s -> s.kind NOT IN ('table', 'image') AND s.text <> ''), s -> s.text), chr(10)) AS text
+         |FROM ${fixturesSql("docs")}""".stripMargin,
+    "q_count_by_kind" ->
+      s"""SELECT u.kind AS kind, count(*) AS n
+         |FROM (SELECT UNNEST(spans) AS u FROM ${fixturesSql("docs")}) GROUP BY 1""".stripMargin,
+    "q_toc" ->
+      s"""SELECT doc_id, CAST(substr(u.kind, 8, 1) AS INTEGER) AS level, u.text AS title, u.offset AS offset
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})
+         |WHERE regexp_matches(u.kind, $headingRx)""".stripMargin,
+    "q_doc_stats" ->
+      s"""SELECT doc_id, len(spans) AS n_spans,
+         |  len(list_filter(spans, s -> s.kind = 'image')) AS n_images,
+         |  len(list_filter(spans, s -> s.kind = 'table')) AS n_tables,
+         |  len(list_filter(spans, s -> regexp_matches(s.kind, $headingRx))) AS n_headings
+         |FROM ${fixturesSql("docs")}""".stripMargin,
+    "q_section_text" -> sectionTextSql("shopping"),
+    "q_first_heading" ->
+      s"""SELECT doc_id, ms[1].kind AS kind, ms[1].text AS title, ms[1].offset AS offset
+         |FROM (SELECT doc_id, list_filter(spans, s -> regexp_matches(s.kind, $headingRx)) AS ms
+         |      FROM ${fixturesSql("docs")}) WHERE len(ms) > 0""".stripMargin,
+    "q_heading_paths" -> headingPathsSql,
+    "q_siblings" ->
+      s"""WITH ex AS (SELECT doc_id, u.kind AS kind, u.text AS text, u."offset" AS "offset"
+         |  FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})),
+         |sec AS (SELECT doc_id, "offset", text,
+         |  coalesce(last_value(CASE WHEN regexp_matches(kind, $headingRx) THEN "offset" END IGNORE NULLS)
+         |    OVER (PARTITION BY doc_id ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS section_off
+         |  FROM ex)
+         |SELECT doc_id, "offset", section_off,
+         |  lag(text, 1) OVER ws AS prev_text, lead(text, 1) OVER ws AS next_text
+         |FROM sec WINDOW ws AS (PARTITION BY doc_id, section_off ORDER BY "offset")""".stripMargin,
+    "q_concat_self" ->
+      s"SELECT doc_id, len(spans) * 2 AS n_spans FROM ${fixturesSql("docs")}",
+    "m_media_join" ->
+      s"""SELECT d.doc_id AS doc_id, u.media_ref AS media_ref, u.offset AS offset,
+         |  m.content_type AS content_type, m.name AS name
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")}) d
+         |LEFT JOIN ${fixturesSql("media")} m
+         |  ON d.doc_id = m.doc_id AND u.media_ref = m.media_ref
+         |WHERE u.kind = 'image'""".stripMargin,
+    "t_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "t_token_count" ->
+      """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "t_quality" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS l,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+         |  CAST(len(list_filter(string_split($normSql, ' '),
+         |    t -> list_contains($enStop, t))) AS DOUBLE) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, round((alpha_chars / greatest(l, 1.0)) * 0.4
+         |  + least((stop_hits / greatest(n_tok, 1.0)) * 3.0, 1.0) * 0.3
+         |  + least(l / 500.0, 1.0) * 0.3, 6) AS quality FROM q""".stripMargin,
+    "t_lang" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  len(list_filter(string_split($normSql, ' '), t -> list_contains($enStop, t))) AS en,
+         |  len(list_filter(string_split($normSql, ' '), t -> list_contains($deStop, t))) AS de,
+         |  len(list_filter(string_split($normSql, ' '), t -> list_contains($frStop, t))) AS fr,
+         |  len(list_filter(string_split($normSql, ' '), t -> list_contains($esStop, t))) AS es
+         |  FROM documents)
+         |SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |  ELSE 'es' END AS lang_guess FROM c""".stripMargin,
+    "d_exact_dups" ->
+      s"""SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+         |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |GROUP BY fp HAVING count(*) > 1""".stripMargin,
+    "d_drop_exact" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, row_number() OVER
+         |  (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1""".stripMargin,
+    "d_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+         |inv AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |z AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+         |SELECT a, b, round(CAST(common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6) AS jaccard
+         |FROM p JOIN z za ON za.doc_id = p.a JOIN z zb ON zb.doc_id = p.b
+         |WHERE round(CAST(common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6) >= 0.5""".stripMargin,
+    "d_embed_neardup" ->
+      s"""SELECT a.vec_id AS a, b.vec_id AS b, round($cosSql, 6) AS cosine
+         |FROM embeddings a CROSS JOIN embeddings b
+         |WHERE a.vec_id < b.vec_id AND $cosSql >= 0.9""".stripMargin,
+    "s_ann_top1" ->
+      s"""WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos
+         |  FROM embeddings a CROSS JOIN embeddings b
+         |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+         |WHERE rn = 1""".stripMargin,
+    "r_q1" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "r_top_customers" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "r_order_seq" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        |FROM orders""".stripMargin,
+    "r_events_hour" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS h, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,156 @@
+package graft.core
+
+import graft.model._
+import graft.oracle.{ExtractionError, Extractor}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/** Row produced by the one-pass distributed extraction: either a good
+  * document (`error == null`) or a quarantined one (`spans` empty,
+  * `error` set). One output type keeps the job single-pass; callers split
+  * with cheap filters (or a partitioned write) downstream.
+  */
+final case class Extracted(doc_id: String, spans: Seq[Span], error: String)
+
+/** Distributed extraction core (SURVEY.md §7.1 step 4): `Dataset[RawDoc] →
+  * Dataset[Extracted]` via `mapPartitions`, invoking the same per-document
+  * routine as the oracle (`graft.oracle.Extractor`). `mapPartitions` (not a
+  * UDF) amortizes setup and keeps the per-doc state machines in plain Scala —
+  * the Spark analog of `ParseFromStream` (`WordDocumentTreeParser.cs:40-76`).
+  *
+  * Error tolerance: a poison document quarantines its row, never fails the
+  * task (a single bad doc must not kill a 10^12-row job) — the corpus-scale
+  * form of the reference's per-part try/catch-skip
+  * (`WordDocumentTreeParser.cs:166-169`).
+  */
+object Extract {
+
+  final class Metrics(spark: SparkSession) extends Serializable {
+    val docs: LongAccumulator = spark.sparkContext.longAccumulator("graft.docs")
+    val spansIn: LongAccumulator = spark.sparkContext.longAccumulator("graft.spansIn")
+    val spansOut: LongAccumulator = spark.sparkContext.longAccumulator("graft.spansOut")
+    val errors: LongAccumulator = spark.sparkContext.longAccumulator("graft.errors")
+  }
+
+  /** Zero-shuffle default path: narrow mapPartitions over the scan. */
+  def run(raw: Dataset[RawDoc], metrics: Option[Metrics] = None): Dataset[Extracted] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.mapPartitions { it =>
+      it.map { rd =>
+        metrics.foreach { m => m.docs.add(1); m.spansIn.add(rd.spans.length) }
+        try {
+          val d = Extractor.extract(rd)
+          metrics.foreach(_.spansOut.add(d.spans.length))
+          Extracted(d.doc_id, d.spans, null)
+        } catch {
+          case e: ExtractionError =>
+            metrics.foreach(_.errors.add(1))
+            Extracted(rd.doc_id, Nil, e.message)
+          case e: Exception =>
+            metrics.foreach(_.errors.add(1))
+            Extracted(rd.doc_id, Nil, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  def good(ds: Dataset[Extracted]): Dataset[Doc] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.error == null).map(e => Doc(e.doc_id, e.spans))
+  }
+
+  def quarantined(ds: Dataset[Extracted]): Dataset[Quarantined] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.error != null).map(e => Quarantined(e.doc_id, e.error))
+  }
+
+  /** Skew-handling path for mega-documents (SURVEY.md §4.3.1): split
+    * oversized docs into chunks at top-level element boundaries, hash-
+    * repartition `(doc_id, chunk_id)` so one 10^6-span document no longer
+    * pins a single task, extract chunks independently (no parser state
+    * crosses a top-level boundary; the per-doc context is replicated into
+    * each chunk), then regroup + reindex. Exactly one shuffle pair; small
+    * docs ride along as single chunks. Use when the corpus has a heavy tail;
+    * the default path stays zero-shuffle.
+    */
+  def runChunked(raw: Dataset[RawDoc], maxSpansPerChunk: Int = 8192,
+                 metrics: Option[Metrics] = None): Dataset[Extracted] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val chunks = raw.flatMap { rd =>
+      metrics.foreach { m => m.docs.add(1); m.spansIn.add(rd.spans.length) }
+      Chunker.split(rd, maxSpansPerChunk)
+    }
+    // shuffle 1: spread chunks evenly — hash-partition on (doc_id, chunk_id)
+    // so a mega-document's chunks land on different tasks
+    val extracted = chunks
+      .repartition(org.apache.spark.sql.functions.col("doc_id"),
+                   org.apache.spark.sql.functions.col("chunk_id"))
+      .map { ch =>
+        try {
+          val ctx = Extractor.buildCtx(ch.ctxSpans ++ ch.spans, ch.meta)
+          ChunkOut(ch.doc_id, ch.chunk_id, Extractor.walk(ch.spans.sortBy(_.offset), ctx), null)
+        } catch {
+          case e: Exception => ChunkOut(ch.doc_id, ch.chunk_id, Nil,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    // shuffle 2 (the regroup): reassemble documents in chunk order
+    extracted.groupByKey(_.doc_id).mapGroups { (docId, it) =>
+      val parts = it.toSeq.sortBy(_.chunk_id)
+      parts.collectFirst { case c if c.error != null => c.error } match {
+        case Some(err) =>
+          metrics.foreach(_.errors.add(1))
+          Extracted(docId, Nil, err)
+        case None =>
+          val spans = parts.flatMap(_.spans).zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+          metrics.foreach(_.spansOut.add(spans.length))
+          Extracted(docId, spans, null)
+      }
+    }
+  }
+}
+
+final case class RawChunk(doc_id: String, chunk_id: Int, spans: Seq[RawSpan],
+                          ctxSpans: Seq[RawSpan], meta: Map[String, String])
+final case class ChunkOut(doc_id: String, chunk_id: Int, spans: Seq[Span], error: String)
+
+/** Splits a raw document's span stream at top-level element boundaries
+  * (nesting depth 0 — never inside a tbl/sdt), so chunks extract
+  * independently. Context spans (`style_def`, `rel`) are replicated into
+  * every chunk: the heading classifier and hyperlink resolution are
+  * whole-document lookups (`ParsingContext.cs:20-55`).
+  */
+object Chunker {
+  def split(doc: RawDoc, maxSpans: Int): Seq[RawChunk] = {
+    val body = doc.spans.sortBy(_.offset)
+    val meta = Option(doc.meta).getOrElse(Map.empty[String, String])
+    if (body.length <= maxSpans)
+      return Seq(RawChunk(doc.doc_id, 0, body, Nil, meta))
+    val ctxSpans = body.filter(s => s.kind == Kinds.StyleDef || s.kind == Kinds.Rel)
+    val chunks = Seq.newBuilder[RawChunk]
+    var cur = Seq.newBuilder[RawSpan]
+    var curN = 0
+    var depth = 0
+    var chunkId = 0
+    body.foreach { s =>
+      // chunk boundary allowed only before a depth-0 span
+      if (depth == 0 && curN >= maxSpans) {
+        chunks += RawChunk(doc.doc_id, chunkId, cur.result(), ctxSpans, meta)
+        chunkId += 1; cur = Seq.newBuilder[RawSpan]; curN = 0
+      }
+      s.kind match {
+        case Kinds.Tbl | Kinds.Sdt => depth += 1
+        case Kinds.TblEnd | Kinds.SdtEnd => depth = math.max(0, depth - 1)
+        case _ =>
+      }
+      cur += s; curN += 1
+    }
+    val last = cur.result()
+    if (last.nonEmpty || chunkId == 0) chunks += RawChunk(doc.doc_id, chunkId, last, ctxSpans, meta)
+    chunks.result()
+  }
+}

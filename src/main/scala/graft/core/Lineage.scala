@@ -1,0 +1,97 @@
+package graft.core
+
+import graft.model.RawDoc
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Per-batch lineage row (FIXTURES.md §2 `_lineage`): committed together with
+  * each batch's output, it is both the job's metrics sink and its resume
+  * checkpoint (SURVEY.md §4.3.2). With Iceberg this rides snapshots; on the
+  * local Parquet stand-in it is a directory-per-batch + commit marker —
+  * same logic, storage seam.
+  */
+final case class LineageRow(
+    batch_id: Int,
+    input_fingerprint: String,
+    doc_count: Long,
+    span_count: Long,
+    error_count: Long,
+    wall_ms: Long,
+    committed_at: String)
+
+/** Checkpoint-resumable batched extraction driver.
+  *
+  * The input's parquet files are deterministically ordered and grouped into
+  * batches; each batch is extracted and written under
+  * `out/docs/batch=<id>/` + `out/quarantine/batch=<id>/`, then a lineage row
+  * is committed under `out/_lineage/batch=<id>/`. The lineage write is the
+  * commit point: on restart, batches with a lineage row (matching
+  * fingerprint) are skipped, partially-written batches are overwritten.
+  * A killed job therefore resumes to byte-identical output.
+  */
+object Lineage {
+
+  def inputBatches(spark: SparkSession, rawPath: String, numBatches: Int): Seq[(Int, Seq[String])] = {
+    val fs = FileSystem.get(new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(rawPath)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    val n = math.max(1, math.min(numBatches, files.size))
+    files.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map { case (b, fl) => (b, fl.map(_._1)) }
+  }
+
+  def fingerprint(files: Seq[String]): String =
+    java.lang.Long.toHexString(
+      graft.corpus.SyntheticCorpus.fnv1a64(files.sorted.mkString("\n")))
+
+  def committedBatches(spark: SparkSession, outPath: String): Map[Int, LineageRow] = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(outPath), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$outPath/_lineage")
+    if (!fs.exists(dir)) Map.empty
+    else spark.read.parquet(s"$outPath/_lineage").as[LineageRow]
+      .collect().map(r => r.batch_id -> r).toMap
+  }
+
+  /** Run (or resume) the batched extraction job. Returns the lineage rows of
+    * every batch that is committed when the call finishes.
+    */
+  def runBatched(spark: SparkSession, rawPath: String, outPath: String,
+                 numBatches: Int = 8, chunked: Boolean = false): Seq[LineageRow] = {
+    import spark.implicits._
+    val batches = inputBatches(spark, rawPath, numBatches)
+    val done = committedBatches(spark, outPath)
+    val rows = batches.map { case (batchId, files) =>
+      val fp = fingerprint(files)
+      done.get(batchId) match {
+        case Some(row) if row.input_fingerprint == fp => row // resume: skip
+        case _ =>
+          val t0 = System.nanoTime()
+          val raw = spark.read.schema(graft.model.Schemas.rawDocs)
+            .parquet(files: _*).as[RawDoc]
+          val extracted = (if (chunked) Extract.runChunked(raw) else Extract.run(raw))
+            .persist()
+          try {
+            Extract.good(extracted).write.mode(SaveMode.Overwrite)
+              .parquet(s"$outPath/docs/batch=$batchId")
+            Extract.quarantined(extracted).write.mode(SaveMode.Overwrite)
+              .parquet(s"$outPath/quarantine/batch=$batchId")
+            import org.apache.spark.sql.functions._
+            val stats = Extract.good(extracted)
+              .agg(count(lit(1)), coalesce(sum(size(col("spans"))), lit(0L))).head()
+            val (docs, spans) = (stats.getLong(0), stats.getLong(1))
+            val errs = Extract.quarantined(extracted).count()
+            val row = LineageRow(batchId, fp, docs, spans, errs,
+              (System.nanoTime() - t0) / 1000000,
+              java.time.Instant.now().toString)
+            // commit point: lineage row written last
+            Seq(row).toDS().write.mode(SaveMode.Overwrite)
+              .parquet(s"$outPath/_lineage/batch=$batchId")
+            row
+          } finally extracted.unpersist()
+      }
+    }
+    rows
+  }
+}

@@ -1,0 +1,396 @@
+package graft.corpus
+
+import graft.model._
+import graft.model.Grammar.{renderAttrs, renderParagraph}
+import java.util.Random
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic synthetic corpus (FIXTURES.md). Any document regenerates
+  * identically on any executor at any scale: the RNG is seeded per doc_id via
+  * FNV-1a64 over `corpusSeed ++ doc_id` (corpusSeed = 42), so generation is a
+  * pure function of the id — fixtures are code, never stored (drift-proof).
+  *
+  * Families cover every semantic branch of the reference parser (citations in
+  * FIXTURES.md §4). `doc_id = "doc-<family>-<index%09d>"` names the scenario
+  * on failure.
+  */
+object SyntheticCorpus {
+
+  val CorpusSeed = "graft-42:"
+
+  /** Regular families in rotation. `mega` is injected every 997th doc and
+    * `poison` every 1009th (co-prime strides → stable mix at any scale).
+    */
+  val Families: Vector[String] = Vector(
+    "headings", "runs", "fields", "hyperlinks", "sdt",
+    "tables", "images", "lists", "boilerplate", "properties")
+
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def familyFor(index: Long): String =
+    if (index > 0 && index % 997 == 0) "mega"
+    else if (index > 0 && index % 1009 == 0) "poison"
+    else Families((index % Families.size).toInt)
+
+  def docIdFor(index: Long): String = f"doc-${familyFor(index)}-$index%09d"
+
+  private val Words = Vector(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
+    "quebec", "romeo", "sierra", "tango", "uniform", "victor", "whiskey",
+    "xray", "yankee", "zulu", "spark", "span", "table", "heading", "corpus")
+
+  private def sentence(r: Random, n: Int): String =
+    (0 until n).map(_ => Words(r.nextInt(Words.length))).mkString(" ")
+
+  /** Raw-span assembly buffer with auto-offsets and boilerplate noise. */
+  private final class B(r: Random) {
+    val spans = ArrayBuffer.empty[RawSpan]
+    def add(kind: String, text: String, media: String = null): Unit = {
+      spans += RawSpan(kind, text, media, spans.length)
+    }
+    def p(tokens: Seq[String], attrs: Seq[(String, String)] = Nil): Unit =
+      add(Kinds.P, renderParagraph(attrs, tokens))
+    def run(text: String): String = s"run:$text"
+    def maybeNoise(): Unit = if (r.nextInt(4) == 0) {
+      val k = r.nextInt(3) match {
+        case 0 => "bookmark"; case 1 => "prooferr"; case 2 => "sectPr"
+      }
+      add(k, "")
+    }
+  }
+
+  /** Generate one raw document as a pure function of its id. */
+  def rawDoc(docId: String): RawDoc = {
+    val family = docId.split('-')(1)
+    val r = new Random(fnv1a64(CorpusSeed + docId))
+    val b = new B(r)
+    // every doc opens with package-part boilerplate that extraction must strip
+    b.add("header", s"Header ${sentence(r, 2)}")
+    b.add("footer", s"Footer ${sentence(r, 2)}")
+    if (r.nextBoolean()) b.add("settings", "@zoom=100")
+    var meta: Map[String, String] = Map(
+      "title" -> s"Title ${sentence(r, 2)}",
+      "author" -> Words(r.nextInt(Words.length)),
+      "company" -> "Graft Inc")
+    family match {
+      case "headings" => genHeadings(b, r)
+      case "runs" => genRuns(b, r)
+      case "fields" => meta = meta ++ genFields(b, r)
+      case "hyperlinks" => genHyperlinks(b, r)
+      case "sdt" => genSdt(b, r)
+      case "tables" => genTables(b, r)
+      case "images" => genImages(b, r)
+      case "lists" => genLists(b, r)
+      case "boilerplate" => genBoilerplate(b, r)
+      case "properties" => meta = meta ++ genProperties(b, r)
+      case "mega" => genMega(b, r)
+      case "poison" => genPoison(b, r)
+      case other => genRuns(b, r)
+    }
+    b.add("footnote", sentence(r, 3)) // trailing boilerplate
+    RawDoc(docId, b.spans.toSeq, meta)
+  }
+
+  // ------------------------------------------------------------- families
+
+  /** levels 1-9, orphan jumps, style-vs-outline-vs-basedOn detection, clamp
+    * (`WordDocumentTreeParser.cs:414-444,857-889`). */
+  private def genHeadings(b: B, r: Random): Unit = {
+    b.add(Kinds.StyleDef, renderAttrs(Seq("id" -> "SectionTitle", "outline" -> "1")))
+    b.add(Kinds.StyleDef, renderAttrs(Seq("id" -> "SubTitle", "basedOn" -> "SectionTitle")))
+    b.add(Kinds.StyleDef, renderAttrs(Seq("id" -> "Plain", "basedOn" -> "Normal")))
+    val levels = {
+      val base = Seq(1, 2, 3, 1, 3, 2, 9) // orphan jump H1->H3, backtrack
+      base ++ (0 until r.nextInt(5)).map(_ => 1 + r.nextInt(9))
+    }
+    levels.foreach { lvl =>
+      val mode = r.nextInt(4)
+      val (attrs, tokens) = mode match {
+        case 0 => (Seq("style" -> s"Heading$lvl"), Seq(b.run(s"H$lvl ${sentence(r, 3)}")))
+        case 1 => (Seq("style" -> s"heading$lvl"), Seq(b.run(s"h$lvl ${sentence(r, 2)}"))) // case-insensitive
+        case 2 if lvl == 2 => (Seq("style" -> "SubTitle"), Seq(b.run(sentence(r, 3)))) // basedOn chain -> outline 1 -> level 2
+        case _ => (Seq("outline" -> (lvl - 1).toString), Seq(b.run(s"O$lvl ${sentence(r, 2)}")))
+      }
+      // basedOn SubTitle resolves to outline 1 => heading2; keep level coherent
+      val effAttrs = if (attrs.head._2 == "SubTitle" && lvl != 2) Seq("outline" -> (lvl - 1).toString) else attrs
+      b.p(tokens, effAttrs)
+      (0 until r.nextInt(3)).foreach(_ => b.p(Seq(b.run(sentence(r, 4 + r.nextInt(6))))))
+      b.maybeNoise()
+    }
+    // clamp: outline 11 -> level 12 -> clamps to 9
+    b.p(Seq(b.run("deep heading")), Seq("outline" -> "11"))
+  }
+
+  /** tabs, breaks, CR, empty paragraphs, trim (`:767-797,463-468`). */
+  private def genRuns(b: B, r: Random): Unit = {
+    b.p(Seq(b.run("  leading"), "tab", b.run("after tab  ")))
+    b.p(Seq(b.run("page"), "br:Page", b.run("break")))
+    b.p(Seq(b.run("col"), "br:Column", b.run("break"), "br:TextWrapping", b.run("wrap")))
+    b.p(Seq(b.run("line one"), "cr", b.run("line two")))
+    b.p(Nil) // empty paragraph kept (Text="")
+    b.p(Seq(b.run("   ")))
+    (0 until 2 + r.nextInt(6)).foreach { _ =>
+      val toks = ArrayBuffer[String](b.run(sentence(r, 3 + r.nextInt(8))))
+      if (r.nextBoolean()) { toks += "tab"; toks += b.run(sentence(r, 2)) }
+      if (r.nextInt(3) == 0) { toks += "br:Page"; toks += b.run(sentence(r, 2)) }
+      b.p(toks.toSeq)
+      b.maybeNoise()
+    }
+  }
+
+  /** DOCPROPERTY core/extended/custom, quoted names, MERGEFORMAT, fallback
+    * to buffered result, non-DOCPROPERTY fields, unterminated fields
+    * (`:527-629,644-762`). */
+  private def genFields(b: B, r: Random): Map[String, String] = {
+    val custom = Map("projectcode" -> s"PX-${100 + r.nextInt(900)}", "reviewer" -> Words(r.nextInt(Words.length)))
+    b.p(Seq(b.run("Title is "), "fldBegin", "instr:DOCPROPERTY Title \\* MERGEFORMAT",
+      "fldSep", b.run("stale cached title"), "fldEnd", b.run(".")))
+    b.p(Seq("fldBegin", "instr:DOCPROPERTY projectcode", "fldSep", b.run("old"), "fldEnd"))
+    b.p(Seq(b.run("Quoted: "), "fldBegin", "instr:DOCPROPERTY \"Project Code\"", "fldSep",
+      b.run("fallback value"), "fldEnd")) // unresolvable ("project code" not in meta) -> buffered result
+    b.p(Seq(b.run("Page "), "fldBegin", "instr:PAGE \\* MERGEFORMAT", "fldSep", b.run("7"), "fldEnd"))
+    b.p(Seq(b.run("no result "), "fldBegin", "instr:DOCPROPERTY company", "fldEnd"))
+    b.p(Seq(b.run("lost "), "fldBegin", "instr:DOCPROPERTY Title", "fldSep", b.run("never emitted")))
+    (0 until r.nextInt(4)).foreach(_ => b.p(Seq(b.run(sentence(r, 5)))))
+    custom
+  }
+
+  /** hyperlink runs, URL rel lookup (`:802-852`, ParsingContext.cs:37-49). */
+  private def genHyperlinks(b: B, r: Random): Unit = {
+    val nLinks = 1 + r.nextInt(4)
+    (0 until nLinks).foreach { i =>
+      b.add(Kinds.Rel, renderAttrs(Seq("id" -> s"rId${10 + i}", "url" -> s"https://example.org/${Words(r.nextInt(Words.length))}")))
+    }
+    (0 until nLinks).foreach { i =>
+      b.p(Seq(b.run("see "), s"link:rId${10 + i}:${sentence(r, 2)}", b.run(" for details")))
+      if (r.nextBoolean()) b.p(Seq(b.run(sentence(r, 6))))
+    }
+    b.p(Seq(s"link:rIdMissing:dangling link")) // rel not present: text still inlined
+  }
+
+  /** all SDT shapes: explicit types, checkbox-by-@checked, xpath fallback,
+    * single-paragraph collapse vs container, nesting, inline sdtrun
+    * (`:910-1226`). */
+  private def genSdt(b: B, r: Random): Unit = {
+    val types = Seq("richtext", "plaintext", "picture", "date", "dropdown", "combobox",
+      "group", "bibliography", "citation", "equation", "repeatingsection")
+    // single-paragraph collapse
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> types(r.nextInt(types.size)), "id" -> "1001", "tag" -> "t1")))
+    b.p(Seq(b.run(s"collapsed ${sentence(r, 3)}")))
+    b.add(Kinds.SdtEnd, "")
+    // container with several children
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "richtext", "id" -> "1002", "alias" -> "Body")))
+    b.p(Seq(b.run(sentence(r, 3))))
+    b.p(Nil)
+    b.p(Seq(b.run(sentence(r, 2))))
+    b.add(Kinds.SdtEnd, "")
+    // checkbox detected by @checked with no recognized type (descendant-scan analog, :1203)
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "mystery", "id" -> "1003", "checked" -> (if (r.nextBoolean()) "1" else "0"))))
+    b.p(Seq(b.run("done")))
+    b.p(Seq(b.run("pending")))
+    b.add(Kinds.SdtEnd, "")
+    // DocProperty-by-XPath fallback (:1209)
+    b.add(Kinds.Sdt, renderAttrs(Seq("id" -> "1004", "xpath" -> "/ns:coreProperties[1]/ns:title[1]")))
+    b.p(Seq(b.run("bound title")))
+    b.p(Seq(b.run("second")))
+    b.add(Kinds.SdtEnd, "")
+    // date with format
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "date", "tag" -> "when", "dateFmt" -> "yyyy-MM-dd")))
+    b.p(Seq(b.run("2024-01-15")))
+    b.p(Seq(b.run("(signed)")))
+    b.add(Kinds.SdtEnd, "")
+    // nested sdt inside container
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "group", "id" -> "1006")))
+    b.p(Seq(b.run("outer")))
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "plaintext", "id" -> "1007")))
+    b.p(Seq(b.run("inner value")))
+    b.p(Seq(b.run("inner second")))
+    b.add(Kinds.SdtEnd, "")
+    b.add(Kinds.SdtEnd, "")
+    // inline sdtrun inside a plain paragraph
+    b.p(Seq(b.run("Before "), s"sdtrun:plaintext,2001,name:${Words(r.nextInt(Words.length))}", b.run(" after")))
+  }
+
+  /** gridSpan, vMerge, header rows, ragged rows, nested tables, multi-para
+    * cells, image-in-cell (`TableExtractor.cs:31-114`). */
+  private def genTables(b: B, r: Random): Unit = {
+    b.p(Seq(b.run("Before table")))
+    // main table 3 rows, ragged + gridSpan + vMerge
+    b.add(Kinds.Tbl, "")
+    b.add(Kinds.Tr, renderAttrs(Seq("header" -> "1")))
+    b.add(Kinds.Tc, renderAttrs(Seq("gridSpan" -> "2")))
+    b.p(Seq(b.run("Wide header")))
+    b.add(Kinds.TcEnd, "")
+    b.add(Kinds.Tc, "")
+    b.p(Seq(b.run("Col C")))
+    b.add(Kinds.TcEnd, "")
+    b.add(Kinds.TrEnd, "")
+    b.add(Kinds.Tr, "")
+    b.add(Kinds.Tc, renderAttrs(Seq("vMerge" -> "Restart")))
+    b.p(Seq(b.run("merge top")))
+    b.add(Kinds.TcEnd, "")
+    b.add(Kinds.Tc, "")
+    b.p(Seq(b.run("cell b1")))
+    b.p(Seq(b.run("cell b2"))) // multi-paragraph cell
+    b.add(Kinds.TcEnd, "")
+    b.add(Kinds.Tc, "")
+    // nested table 2 deep
+    b.add(Kinds.Tbl, "")
+    b.add(Kinds.Tr, "")
+    b.add(Kinds.Tc, ""); b.p(Seq(b.run("n00"))); b.add(Kinds.TcEnd, "")
+    b.add(Kinds.Tc, ""); b.p(Seq(b.run("n01"))); b.add(Kinds.TcEnd, "")
+    b.add(Kinds.TrEnd, "")
+    b.add(Kinds.Tr, "")
+    b.add(Kinds.Tc, "")
+    b.add(Kinds.Tbl, "")
+    b.add(Kinds.Tr, "")
+    b.add(Kinds.Tc, ""); b.p(Seq(b.run("deep"))); b.add(Kinds.TcEnd, "")
+    b.add(Kinds.TrEnd, "")
+    b.add(Kinds.TblEnd, "")
+    b.add(Kinds.TcEnd, "")
+    b.add(Kinds.TrEnd, "")
+    b.add(Kinds.TblEnd, "")
+    b.add(Kinds.TcEnd, "")
+    b.add(Kinds.TrEnd, "")
+    b.add(Kinds.Tr, "")
+    b.add(Kinds.Tc, renderAttrs(Seq("vMerge" -> "Continue")))
+    b.add(Kinds.TcEnd, "") // empty continued cell
+    b.add(Kinds.Tc, "")
+    b.p(Seq(b.run("tail"), "tab", b.run("cell")))
+    b.add(Kinds.TcEnd, "")
+    b.add(Kinds.TrEnd, "")
+    b.add(Kinds.TblEnd, "")
+    b.p(Seq(b.run("After table")))
+    // random rectangular table
+    val rows = 2 + r.nextInt(4); val cols = 2 + r.nextInt(3)
+    b.add(Kinds.Tbl, "")
+    (0 until rows).foreach { _ =>
+      b.add(Kinds.Tr, "")
+      (0 until cols).foreach { _ =>
+        b.add(Kinds.Tc, "")
+        b.p(Seq(b.run(sentence(r, 1 + r.nextInt(3)))))
+        b.add(Kinds.TcEnd, "")
+      }
+      b.add(Kinds.TrEnd, "")
+    }
+    b.add(Kinds.TblEnd, "")
+  }
+
+  /** inline + anchored drawings, wrap types, EMU dims (`ImageExtractor.cs:
+    * 44-169`). Media bytes live in the side table (see [[mediaFor]]). */
+  private def genImages(b: B, r: Random): Unit = {
+    val wraps = Seq("Square", "Tight", "Through", "TopAndBottom", "BehindText")
+    val n = 1 + r.nextInt(5)
+    (0 until n).foreach { i =>
+      val inline = r.nextBoolean()
+      val attrs = ArrayBuffer(
+        "name" -> s"figure-$i.png",
+        "inline" -> (if (inline) "1" else "0"),
+        "cx" -> (914400L * (1 + r.nextInt(5))).toString,
+        "cy" -> (914400L * (1 + r.nextInt(4))).toString)
+      if (!inline) attrs += ("wrap" -> wraps(r.nextInt(wraps.size)))
+      if (r.nextBoolean()) attrs += ("alt" -> sentence(r, 3))
+      b.p(Seq(b.run(s"Figure $i: ${sentence(r, 3)}")))
+      b.add(Kinds.Drawing, renderAttrs(attrs.toSeq), s"rId${100 + i}")
+    }
+    b.p(Seq(b.run(sentence(r, 5))))
+  }
+
+  /** numbering ids/levels; list-item classification (`:478-485,894`). */
+  private def genLists(b: B, r: Random): Unit = {
+    b.p(Seq(b.run("Shopping")), Seq("style" -> "Heading1"))
+    val numId = 1 + r.nextInt(3)
+    (0 until 3 + r.nextInt(5)).foreach { i =>
+      val ilvl = r.nextInt(3)
+      b.p(Seq(b.run(s"item ${sentence(r, 2)}")), Seq("numId" -> numId.toString, "ilvl" -> ilvl.toString))
+    }
+    // numbered heading: heading classification wins over list (:460-518 order)
+    b.p(Seq(b.run("numbered heading")), Seq("style" -> "Heading2", "numId" -> "9", "ilvl" -> "0"))
+    b.p(Seq(b.run(sentence(r, 4))))
+  }
+
+  /** package parts present and fully stripped; body noise dropped
+    * (`:81-409,449-455,620-624`). */
+  private def genBoilerplate(b: B, r: Random): Unit = {
+    b.add("theme", "@name=Office")
+    b.add("fonts", "@major=Calibri Light;@minor=Calibri")
+    b.add("numbering_def", "@numId=1;@fmt=decimal")
+    b.add("endnote", sentence(r, 4))
+    b.add("glossary", sentence(r, 3))
+    b.add("sectPr", "@pgSz=12240x15840")
+    b.add("bookmark", "@name=_GoBack")
+    b.add("prooferr", "@type=spellStart")
+    b.p(Seq(b.run("only real content 1")))
+    b.add("header", "another header")
+    b.p(Seq(b.run("only real content 2")))
+    b.add("footer", "another footer")
+  }
+
+  /** meta map: core/extended/custom props, case-insensitive access
+    * (`WordDocument.cs:103-148`). */
+  private def genProperties(b: B, r: Random): Map[String, String] = {
+    val custom = Map(
+      "department" -> Words(r.nextInt(Words.length)),
+      "version" -> s"v${1 + r.nextInt(9)}.${r.nextInt(10)}",
+      "project code" -> s"PC-${r.nextInt(1000)}")
+    b.p(Seq(b.run("By "), "fldBegin", "instr:DOCPROPERTY Author", "fldEnd"))
+    b.p(Seq(b.run("Dept "), "fldBegin", "instr:DOCPROPERTY DEPARTMENT", "fldEnd")) // case-insensitive
+    b.p(Seq(b.run("Code "), "fldBegin", "instr:DOCPROPERTY \"Project Code\"", "fldEnd"))
+    b.p(Seq(b.run(sentence(r, 6))))
+    custom
+  }
+
+  /** skew driver: a doc with thousands of spans incl. a big table
+    * (SURVEY.md §4.3.1). Sizes draw from the RNG (p99 tail). */
+  private def genMega(b: B, r: Random): Unit = {
+    val paras = 2000 + r.nextInt(3000)
+    (0 until paras).foreach { i =>
+      if (i % 200 == 0) b.p(Seq(b.run(s"Section $i")), Seq("style" -> s"Heading${1 + (i / 200) % 3}"))
+      else b.p(Seq(b.run(sentence(r, 3 + r.nextInt(10)))))
+    }
+    val rows = 100 + r.nextInt(100)
+    b.add(Kinds.Tbl, "")
+    (0 until rows).foreach { _ =>
+      b.add(Kinds.Tr, "")
+      (0 until 10).foreach { _ =>
+        b.add(Kinds.Tc, ""); b.p(Seq(b.run(sentence(r, 2)))); b.add(Kinds.TcEnd, "")
+      }
+      b.add(Kinds.TrEnd, "")
+    }
+    b.add(Kinds.TblEnd, "")
+  }
+
+  /** malformed structure → extraction must quarantine, never fail the job. */
+  private def genPoison(b: B, r: Random): Unit = {
+    b.p(Seq(b.run("looks fine")))
+    r.nextInt(3) match {
+      case 0 => b.add(Kinds.Tbl, ""); b.add(Kinds.Tr, ""); b.add(Kinds.Tc, ""); b.p(Seq(b.run("never closed")))
+      case 1 => b.add(Kinds.TcEnd, "") // stray close
+      case 2 => b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "richtext"))); b.p(Seq(b.run("unclosed sdt")))
+    }
+  }
+
+  // ---------------------------------------------------------------- media
+
+  /** Deterministic media side-table rows for a document's drawing spans —
+    * fake bytes stand in for the image parts (the real decode is environment-
+    * dependent and stubbed; Spark-side plumbing is what matters).
+    */
+  def mediaFor(doc: RawDoc): Seq[MediaRow] =
+    doc.spans.filter(s => s.kind == Kinds.Drawing && s.media_ref != null).map { s =>
+      val a = Grammar.parseAttrs(s.text)
+      val seed = fnv1a64(CorpusSeed + doc.doc_id + ":" + s.media_ref)
+      val r = new Random(seed)
+      val bytes = new Array[Byte](64 + r.nextInt(192))
+      r.nextBytes(bytes)
+      MediaRow(doc.doc_id, s.media_ref, "image/png",
+        a.get("cx").map(_.toLong).getOrElse(0L), a.get("cy").map(_.toLong).getOrElse(0L),
+        a.getOrElse("name", ""), a.getOrElse("alt", ""), bytes)
+    }
+}

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora, over
+  * `documents(doc_id, text, ...)`. Scale notes per operator:
+  *
+  *  - exact: one hash-shuffle on a 32-byte key — the cheapest possible
+  *    grouping; at 100 TB the fingerprint is computed map-side in codegen and
+  *    only (key, id) pairs shuffle.
+  *  - MinHash+LSH: signatures are per-row HOFs (no shuffle); the band/bucket
+  *    self-join shuffles on the band hash — candidate pairs only, never the
+  *    full cross product. AQE skew-join splits hot buckets (empty-ish docs).
+  *  - SimHash: per-row 64-bit signature, then a band join on 16-bit chunks.
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  */
+object Dedup {
+
+  /** Exact duplicates: groupBy content fingerprint. Returns one row per
+    * duplicated fingerprint with group size and the keeper (min doc_id). */
+  def exactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .where(col("n_docs") > 1)
+
+  /** Exact-dedup the corpus: keep the min doc_id per fingerprint. Window-free
+    * formulation (groupBy + semi join) so AQE can handle skewed fingerprints.
+    */
+  def dropExactDuplicates(documents: DataFrame): DataFrame = {
+    val withFp = documents.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** MinHash signature of the text's shingle set: `numHashes` permutations
+    * approximated as xxhash64(shingle, seed_i); each signature slot is the
+    * min hash under that seed. Pure HOFs — computed map-side in codegen.
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 5): Column = {
+    val shingles = TextAnalysis.charShingles(text, shingleSize)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (`numBands` bands of `rowsPerBand`
+    * slots), hash each band, self-join on (band_idx, band_hash). Returns
+    * candidate pairs (a < b) with their estimated Jaccard (signature
+    * agreement) and exact n-gram Jaccard, filtered at `threshold`.
+    */
+  def minHashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
+                            numHashes: Int = 32, numBands: Int = 8,
+                            shingleSize: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigs = documents.select(col("doc_id"),
+      minHashSignature(col("text"), numHashes, shingleSize).as("sig"),
+      TextAnalysis.charShingles(col("text"), shingleSize).as("shingles"))
+    val banded = sigs.select(col("doc_id"), col("sig"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+        .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"),
+      col("sig").as("sig_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("b"),
+      col("sig").as("sig_b"), col("shingles").as("sh_b"))
+    val cand = a.join(b, Seq("band_idx", "band_hash")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast("double") / lit(numHashes.toDouble))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard of two (distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)).cast("double"), lit(1.0))
+
+  /** Word n-gram Jaccard near-dups: exact pairwise within minhash candidate
+    * recall is the production path; this direct variant (shared-shingle
+    * inverted-index join) is exact and still avoids the cross product.
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = documents.select(col("doc_id"), TextAnalysis.wordShingles(col("text"), n).as("sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // inverted index join: pairs sharing >=1 shingle
+    val pairs = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset: per-bit majority vote of token
+    * hashes. Expressed as HOFs: for each bit, count tokens whose hash has
+    * the bit set vs total, set bit if majority. */
+  def simHash(text: Column): Column = {
+    val toks = split(TextAnalysis.normalized(text), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(toks)
+    (0 until 64).map { bit =>
+      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << bit)) =!= 0))
+      when(ones * 2 > n, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dups: band the 64-bit signature into four 16-bit chunks
+    * (pigeonhole: hamming distance <= 3 → at least one identical chunk),
+    * join on chunks, verify hamming distance. */
+  def simHashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = documents.select(col("doc_id"), simHash(col("text")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_idx", "chunk")))
+    val a = banded.select(col("band_idx"), col("chunk"), col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("chunk"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "chunk")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  // -------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicates over `embeddings(vec_id, embedding)`:
+    * exact pairwise cosine above threshold. The LSH-bucketed variant in
+    * [[Similarity]] is the scale path; this exact form serves as its recall
+    * oracle at test scale. */
+  def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.l2Norm(col("embedding")).as("norm"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("norm").as("nb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
+        greatest(col("na") * col("nb"), lit(1e-12)))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

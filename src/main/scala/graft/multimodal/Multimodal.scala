@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import graft.model.MediaRow
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque media handling: image/audio/video payloads are `binary` columns
+  * with typed metadata (the reference keeps media bytes out of document.xml
+  * the same way, `ImageExtractor.cs:61-81`; FIXTURES.md §2 `media` table).
+  *
+  * Decode/feature-extraction is environment-dependent (no image/audio libs in
+  * this container), so the byte-level decode is a clearly-marked DETERMINISTIC
+  * STUB; the Spark-side plumbing — schema, partition-wise batch iteration,
+  * join strategy — is real and benchmarked. On a cluster the stub body is
+  * replaced by the actual codec call; nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaFeature(
+      doc_id: String, media_ref: String, content_type: String,
+      width_px: Int, height_px: Int, format: String, byte_len: Int,
+      checksum: Long)
+
+  /** STUB decode: derives "decoded" metadata purely from the byte payload
+    * (FNV-1a checksum, pseudo pixel dims from the EMU extents at 96 dpi).
+    * Real implementation: ImageIO/ffmpeg per partition — the mapPartitions
+    * shape below amortizes codec init per partition exactly as the real one
+    * must. */
+  def decodeImageMeta(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition init seam: real codecs are constructed HERE, once
+      it.map { m =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
+        while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        val emuPerPx = 9525L // 914400 EMU/inch at 96 dpi
+        MediaFeature(m.doc_id, m.media_ref, m.content_type,
+          (m.width_emu / emuPerPx).toInt, (m.height_emu / emuPerPx).toInt,
+          m.content_type.split('/').lastOption.getOrElse("bin"),
+          bytes.length, h)
+      }
+    }
+  }
+
+  /** Frame-sampling stub for video payloads: every `stride`-th 16-byte block
+    * stands in for a frame — same batch shape (one row in, k rows out via
+    * flatMap) as real frame extraction. */
+  final case class Frame(doc_id: String, media_ref: String, frame_idx: Int, frame_checksum: Long)
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
+      bytes.grouped(16).zipWithIndex.collect {
+        case (blk, idx) if idx % stride == 0 =>
+          var h = 0xcbf29ce484222325L
+          blk.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+          Frame(m.doc_id, m.media_ref, idx, h)
+      }
+    }
+  }
+
+  /** Media join (J3, `ImageExtractor.cs:61-81`): image spans ⋈ media on
+    * (doc_id, media_ref). The media catalog of a doc-partitioned corpus is
+    * small relative to the spans table → broadcast; at full scale with
+    * co-partitioned tables this becomes a bucketed sort-merge join.
+    */
+  def joinImageSpans(docs: DataFrame, media: DataFrame): DataFrame = {
+    val images = docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") === "image")
+      .select(col("doc_id"), col("s.text").as("text"), col("s.media_ref").as("media_ref"),
+        col("s.offset").as("offset"))
+    images.join(broadcast(media.select(col("doc_id"), col("media_ref"),
+        col("content_type"), col("width_emu"), col("height_emu"), col("name"))),
+      Seq("doc_id", "media_ref"), "left")
+  }
+}

@@ -1,0 +1,249 @@
+package graft
+
+import graft.model._
+import graft.oracle.{ExtractionError, Extractor}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed goldens for the per-document extraction semantics — these
+  * assert the SEMANTICS (independently of the shared oracle/core code path),
+  * mirroring the reference behaviors cited in SURVEY.md §2.7.
+  */
+class ExtractorSpec extends AnyFunSuite {
+
+  private def doc(spans: (String, String, String)*): RawDoc =
+    RawDoc("d1", spans.zipWithIndex.map { case ((k, t, m), i) => RawSpan(k, t, m, i) }, Map.empty)
+
+  private def docMeta(meta: Map[String, String], spans: (String, String, String)*): RawDoc =
+    RawDoc("d1", spans.zipWithIndex.map { case ((k, t, m), i) => RawSpan(k, t, m, i) }, meta)
+
+  private def kinds(d: Doc): Seq[String] = d.spans.map(_.kind)
+  private def texts(d: Doc): Seq[String] = d.spans.map(_.text)
+
+  // ---- run fold (F1/F2, DocumentNode.cs:67-69, WordDocumentTreeParser.cs:463)
+
+  test("run concat: tab -> \\t, break/cr -> space, final trim") {
+    val d = Extractor.extract(doc(
+      ("p", "run:  a|tab|run:b|br:Page|run:c|cr|run:d  ", null)))
+    assert(texts(d) == Seq("a\tb c d"))
+  }
+
+  test("empty paragraphs kept with empty text (:466-468)") {
+    val d = Extractor.extract(doc(("p", "", null), ("p", "run:   ", null), ("p", "run:x", null)))
+    assert(texts(d) == Seq("", "", "x"))
+    assert(kinds(d) == Seq("paragraph", "paragraph", "paragraph"))
+  }
+
+  test("offsets re-densified 0..n-1 after stripping") {
+    val d = Extractor.extract(doc(
+      ("header", "junk", null), ("p", "run:a", null), ("sectPr", "", null), ("p", "run:b", null)))
+    assert(d.spans.map(_.offset) == Seq(0, 1))
+  }
+
+  // ---- field state machine (X4, :527-629)
+
+  test("DOCPROPERTY resolves from meta, overriding cached result (:555-577)") {
+    val d = Extractor.extract(docMeta(Map("title" -> "Real Title"),
+      ("p", "run:T=|fldBegin|instr:DOCPROPERTY Title \\* MERGEFORMAT|fldSep|run:Old|fldEnd", null)))
+    assert(texts(d) == Seq("T=Real Title"))
+  }
+
+  test("unresolvable DOCPROPERTY falls back to buffered result") {
+    val d = Extractor.extract(doc(
+      ("p", "fldBegin|instr:DOCPROPERTY Missing|fldSep|run:cached|fldEnd", null)))
+    assert(texts(d) == Seq("cached"))
+  }
+
+  test("quoted property name joined across spaces (:644-675)") {
+    val d = Extractor.extract(docMeta(Map("project code" -> "PC-7"),
+      ("p", "fldBegin|instr:DOCPROPERTY \"Project Code\"|fldSep|run:x|fldEnd", null)))
+    assert(texts(d) == Seq("PC-7"))
+  }
+
+  test("non-DOCPROPERTY field passes buffered result through (:579-582)") {
+    val d = Extractor.extract(doc(
+      ("p", "run:Page |fldBegin|instr:PAGE|fldSep|run:7|fldEnd", null)))
+    assert(texts(d) == Seq("Page 7"))
+  }
+
+  test("field without separator emits resolved or nothing") {
+    val d = Extractor.extract(docMeta(Map("company" -> "ACME"),
+      ("p", "run:c=|fldBegin|instr:DOCPROPERTY company|fldEnd", null)))
+    assert(texts(d) == Seq("c=ACME"))
+  }
+
+  test("unterminated field discards buffered content") {
+    val d = Extractor.extract(doc(
+      ("p", "run:keep|fldBegin|instr:DOCPROPERTY Title|fldSep|run:lost", null)))
+    assert(texts(d) == Seq("keep"))
+  }
+
+  test("runs inside field-code region are ignored") {
+    val d = Extractor.extract(doc(
+      ("p", "fldBegin|run:noise|instr:PAGE|fldSep|run:9|fldEnd", null)))
+    assert(texts(d) == Seq("9"))
+  }
+
+  // ---- heading classifier (P11, :857-889)
+
+  test("heading by style prefix, case-insensitive; clamp at 9") {
+    val d = Extractor.extract(doc(
+      ("p", "@style=Heading3|run:A", null),
+      ("p", "@style=heading2|run:B", null),
+      ("p", "@style=Heading12|run:C", null)))
+    assert(kinds(d) == Seq("heading3", "heading2", "heading9"))
+  }
+
+  test("heading via style table outline + basedOn chain") {
+    val d = Extractor.extract(doc(
+      ("style_def", "@id=Title1;@outline=0", null),
+      ("style_def", "@id=Sub;@basedOn=Title1", null),
+      ("p", "@style=Title1|run:A", null),
+      ("p", "@style=Sub|run:B", null),
+      ("p", "@style=NoSuch|run:C", null)))
+    assert(kinds(d) == Seq("heading1", "heading1", "paragraph"))
+  }
+
+  test("heading via direct outline attr; outline 11 clamps to 9") {
+    val d = Extractor.extract(doc(
+      ("p", "@outline=1|run:A", null), ("p", "@outline=11|run:B", null)))
+    assert(kinds(d) == Seq("heading2", "heading9"))
+  }
+
+  test("list item classification with numId:ilvl media_ref; heading wins over list") {
+    val d = Extractor.extract(doc(
+      ("p", "@numId=5;@ilvl=2|run:item", null),
+      ("p", "@numId=5|run:item2", null),
+      ("p", "@style=Heading1;@numId=5|run:numbered heading", null)))
+    assert(kinds(d) == Seq("list_item", "list_item", "heading1"))
+    assert(d.spans(0).media_ref == "5:2")
+    assert(d.spans(1).media_ref == "5:0")
+    assert(d.spans(2).media_ref == null)
+  }
+
+  // ---- hyperlinks + inline sdt
+
+  test("hyperlink display text inlined; sdtrun text inlined") {
+    val d = Extractor.extract(doc(
+      ("rel", "@id=rId7;@url=https://x.example", null),
+      ("p", "run:see |link:rId7:the docs|run: now", null),
+      ("p", "run:A |sdtrun:plaintext,9,tag:VAL|run: B", null)))
+    assert(texts(d) == Seq("see the docs now", "A VAL B"))
+  }
+
+  // ---- tables (X5, TableExtractor.cs:31-114)
+
+  test("table label, grid coords, gridSpan advance, vMerge kept, ragged ColumnCount=max") {
+    val d = Extractor.extract(doc(
+      ("tbl", "", null),
+      ("tr", "@header=1", null),
+      ("tc", "@gridSpan=2", null), ("p", "run:wide", null), ("tc_end", "", null),
+      ("tc", "", null), ("p", "run:c", null), ("tc_end", "", null),
+      ("tr_end", "", null),
+      ("tr", "", null),
+      ("tc", "@vMerge=Restart", null), ("p", "run:m", null), ("tc_end", "", null),
+      ("tc", "", null), ("p", "run:x", null), ("p", "run:y", null), ("tc_end", "", null),
+      ("tr_end", "", null),
+      ("tbl_end", "", null)))
+    assert(d.spans.head.kind == "table")
+    assert(d.spans.head.text == "[Table: 2x3]")
+    assert(d.spans.head.media_ref == "2x3")
+    val cells = d.spans.filter(_.kind == "table_cell")
+    assert(cells.map(_.media_ref) == Seq("0,0", "0,2", "1,0", "1,1"))
+    assert(cells.map(_.text) == Seq("wide", "c", "m", "x y"))
+  }
+
+  test("nested table emits its own spans inside the cell sequence") {
+    val d = Extractor.extract(doc(
+      ("tbl", "", null),
+      ("tr", "", null),
+      ("tc", "", null),
+      ("tbl", "", null),
+      ("tr", "", null),
+      ("tc", "", null), ("p", "run:deep", null), ("tc_end", "", null),
+      ("tr_end", "", null),
+      ("tbl_end", "", null),
+      ("tc_end", "", null),
+      ("tr_end", "", null),
+      ("tbl_end", "", null)))
+    assert(kinds(d) == Seq("table", "table_cell", "table", "table_cell"))
+    // outer cell text carries the nested table's label
+    assert(d.spans(1).text == "[Table: 1x1]")
+    assert(d.spans(3).text == "deep")
+  }
+
+  test("unclosed table structures throw (quarantine path)") {
+    assertThrows[ExtractionError](Extractor.extract(doc(("tbl", "", null), ("tr", "", null))))
+    assertThrows[ExtractionError](Extractor.extract(doc(("tc_end", "", null))))
+    assertThrows[ExtractionError](Extractor.extract(doc(("sdt", "@type=richtext", null), ("p", "run:x", null))))
+  }
+
+  // ---- images (X6)
+
+  test("image span label + embed rel id (ImageExtractor.cs:64,103)") {
+    val d = Extractor.extract(doc(
+      ("drawing", "@name=pic.png;@inline=1;@cx=914400;@cy=914400", "rId42")))
+    assert(d.spans == Seq(Span("image", "[Image: pic.png]", "rId42", 0)))
+  }
+
+  // ---- SDT (X7, :910-1226)
+
+  test("single-paragraph SDT collapses to its paragraph (:925-942)") {
+    val d = Extractor.extract(doc(
+      ("sdt", "@type=richtext;@id=1;@tag=t", null),
+      ("p", "run:inner", null),
+      ("sdt_end", "", null)))
+    assert(d.spans.map(s => (s.kind, s.text)) == Seq(("paragraph", "inner")))
+  }
+
+  test("container SDT: value = space-join of non-blank child texts; children flattened after (:969-975)") {
+    val d = Extractor.extract(doc(
+      ("sdt", "@type=richtext;@id=2;@alias=Body", null),
+      ("p", "run:a", null), ("p", "", null), ("p", "run:b", null),
+      ("sdt_end", "", null)))
+    assert(d.spans.map(s => (s.kind, s.text)) ==
+      Seq(("content_control", "a b"), ("paragraph", "a"), ("paragraph", ""), ("paragraph", "b")))
+    assert(d.spans.head.media_ref == "richtext:2")
+  }
+
+  test("type cascade: unknown+checked -> checkbox; xpath -> docproperty (:1203,1209)") {
+    val d = Extractor.extract(doc(
+      ("sdt", "@type=mystery;@id=3;@checked=1", null),
+      ("p", "run:x", null), ("p", "run:y", null),
+      ("sdt_end", "", null),
+      ("sdt", "@id=4;@xpath=/ns:title[1]", null),
+      ("p", "run:u", null), ("p", "run:v", null),
+      ("sdt_end", "", null)))
+    assert(d.spans.filter(_.kind == "content_control").map(_.media_ref) ==
+      Seq("checkbox:3", "docproperty:4"))
+  }
+
+  test("nested SDT contributes its value to the outer container") {
+    val d = Extractor.extract(doc(
+      ("sdt", "@type=group;@id=5", null),
+      ("p", "run:outer", null),
+      ("sdt", "@type=plaintext;@id=6", null),
+      ("p", "run:i1", null), ("p", "run:i2", null),
+      ("sdt_end", "", null),
+      ("sdt_end", "", null)))
+    assert(d.spans.head.kind == "content_control")
+    assert(d.spans.head.text == "outer i1 i2")
+    assert(kinds(d) == Seq("content_control", "paragraph", "content_control", "paragraph", "paragraph"))
+  }
+
+  // ---- boilerplate strip (P12/S3)
+
+  test("package parts and body noise fully stripped") {
+    val d = Extractor.extract(doc(
+      ("header", "h", null), ("footer", "f", null), ("settings", "", null),
+      ("theme", "", null), ("fonts", "", null), ("numbering_def", "", null),
+      ("footnote", "n", null), ("endnote", "e", null), ("glossary", "g", null),
+      ("sectPr", "", null), ("bookmark", "", null), ("prooferr", "", null),
+      ("p", "run:real", null)))
+    assert(d.spans.map(_.text) == Seq("real"))
+  }
+
+  test("output kinds stay inside the ContentType vocabulary") {
+    val d = Extractor.extract(graft.corpus.SyntheticCorpus.rawDoc("doc-sdt-000000004"))
+    assert(d.spans.forall(s => Kinds.OutputKinds.contains(s.kind)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.{Chunker, Extract}
+import graft.corpus.SyntheticCorpus
+import graft.model.{Doc, RawDoc}
+import graft.oracle.Extractor
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end distributed extraction vs the sequential oracle: span-sequence
+  * equality (kind, text, media_ref, order) per document — the north-rule
+  * gate — plus chunker round-trips and quarantine behavior.
+  */
+class SparkExtractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def corpus(n: Int): Seq[RawDoc] =
+    (0L until n.toLong).map(i => SyntheticCorpus.rawDoc(SyntheticCorpus.docIdFor(i)))
+
+  private def oracleOf(docs: Seq[RawDoc]): Map[String, Doc] =
+    docs.flatMap(d => try Some(Extractor.extract(d)) catch { case _: Exception => None })
+      .map(d => d.doc_id -> d).toMap
+
+  test("distributed extraction == oracle on a 500-doc mixed corpus") {
+    import spark.implicits._
+    val raw = corpus(500)
+    val expected = oracleOf(raw)
+    val got = Extract.good(Extract.run(raw.toDS().repartition(7))).collect()
+    assert(got.length == expected.size)
+    got.foreach { d =>
+      assert(expected(d.doc_id).spans == d.spans, s"mismatch for ${d.doc_id}")
+    }
+  }
+
+  test("chunked extraction == oracle (incl. mega + poison docs)") {
+    import spark.implicits._
+    // indices around the mega (997) and poison (1009) strides
+    val raw = (990L to 1015L).map(i => SyntheticCorpus.rawDoc(SyntheticCorpus.docIdFor(i)))
+    val expected = oracleOf(raw)
+    val got = Extract.good(Extract.runChunked(raw.toDS(), maxSpansPerChunk = 512)).collect()
+    assert(got.length == expected.size)
+    got.foreach { d =>
+      assert(expected(d.doc_id).spans == d.spans, s"mismatch for ${d.doc_id}")
+    }
+  }
+
+  test("poison docs quarantine with an error, never fail the job") {
+    import spark.implicits._
+    val raw = Seq(SyntheticCorpus.rawDoc("doc-poison-000001009"),
+      SyntheticCorpus.rawDoc("doc-runs-000000001"))
+    val ex = Extract.run(raw.toDS())
+    val q = Extract.quarantined(ex).collect()
+    assert(q.map(_.doc_id).toSeq == Seq("doc-poison-000001009"))
+    assert(q.head.error.nonEmpty)
+    assert(Extract.good(ex).count() == 1)
+  }
+
+  test("chunker splits only at depth-0 boundaries and loses nothing") {
+    val mega = SyntheticCorpus.rawDoc("doc-mega-000000997")
+    val chunks = Chunker.split(mega, 512)
+    assert(chunks.length > 1)
+    assert(chunks.flatMap(_.spans).map(_.offset) == mega.spans.sortBy(_.offset).map(_.offset))
+    // no chunk starts inside a table: each chunk's open/close deltas balance
+    chunks.foreach { ch =>
+      var depth = 0
+      ch.spans.foreach { s =>
+        s.kind match {
+          case "tbl" | "sdt" => depth += 1
+          case "tbl_end" | "sdt_end" => depth -= 1
+          case _ =>
+        }
+        assert(depth >= 0, s"chunk ${ch.chunk_id} dips below depth 0")
+      }
+      assert(depth == 0, s"chunk ${ch.chunk_id} leaves depth $depth open")
+    }
+  }
+
+  test("extraction is deterministic and idempotent across partitionings") {
+    import spark.implicits._
+    val raw = corpus(120)
+    val a = Extract.good(Extract.run(raw.toDS().repartition(2))).collect().sortBy(_.doc_id)
+    val b = Extract.good(Extract.run(raw.toDS().repartition(11))).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("output invariants: dense offsets, vocabulary kinds, media_ref discipline") {
+    import spark.implicits._
+    val raw = corpus(200)
+    Extract.good(Extract.run(raw.toDS())).collect().foreach { d =>
+      assert(d.spans.map(_.offset) == d.spans.indices)
+      d.spans.foreach { s =>
+        assert(graft.model.Kinds.OutputKinds.contains(s.kind), s"${d.doc_id}: ${s.kind}")
+        if (s.kind == "paragraph" || s.kind.startsWith("heading"))
+          assert(s.media_ref == null)
+      }
+    }
+  }
+}
