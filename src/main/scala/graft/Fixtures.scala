@@ -26,8 +26,9 @@ object Fixtures {
   val DocsPath = s"$Dir/docs.parquet"
   val ExpectedPath = s"$Dir/expected_docs.parquet"
   val MediaPath = s"$Dir/media.parquet"
+  val AnnotatedPath = s"$Dir/annotated_docs.parquet"
   /** bump when generator/extractor semantics change: forces a rebuild */
-  val Version = "v4"
+  val Version = "v5"
   val NumDocs = 1200L
 
   @volatile private var ready = false
@@ -53,6 +54,9 @@ object Fixtures {
       raw.flatMap { rd =>
         try Some(Extractor.extract(rd)) catch { case _: Exception => None }
       }.write.mode(SaveMode.Overwrite).parquet(ExpectedPath)
+      raw.flatMap { rd =>
+        try Some(Extractor.extractAnnotated(rd)) catch { case _: Exception => None }
+      }.write.mode(SaveMode.Overwrite).parquet(AnnotatedPath)
       raw.flatMap(rd => SyntheticCorpus.mediaFor(rd))
         .write.mode(SaveMode.Overwrite).parquet(MediaPath)
       raw.unpersist()

@@ -4,7 +4,7 @@ import graft.core.{Extract, Lineage}
 import graft.functions.{Dedup, Similarity, TextAnalysis}
 import graft.model.RawDoc
 import graft.multimodal.Multimodal
-import graft.queries.SpanQueries
+import graft.queries.{Mutators, SpanQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,11 @@ object SparkEntry {
         .join(Fixtures.docs(s).select(col("doc_id")), Seq("doc_id"), "left_anti")),
     "x3_compare_oracle" -> ((s, _) =>
       SpanQueries.compare(Fixtures.docs(s), Fixtures.expected(s))),
+    "x4_annotated_spans" -> ((s, _) => {
+      import s.implicits._
+      val raw = Fixtures.raw(s).as[graft.model.RawDoc]
+      SpanQueries.flattenSpans(Extract.good(Extract.run(raw, annotate = true)).toDF())
+    }),
 
     // ---- span-query algebra ----
     "q_all_text" -> ((s, _) => SpanQueries.allText(Fixtures.docs(s))),
@@ -142,6 +147,52 @@ object SparkEntry {
       import s.implicits._
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
+    // ---- mutators (§2.8) ----
+    "mut_set_cc" -> ((s, _) =>
+      SpanQueries.flattenSpans(
+        Mutators.setContentControlValue(Fixtures.docs(s), "1002", "REDACTED"))
+        .where(col("kind") === "content_control")),
+    "mut_remove_cc" -> ((s, _) =>
+      SpanQueries.flattenSpans(Mutators.removeContentControls(Fixtures.docs(s)))
+        .where(col("doc_id").like("doc-sdt-%"))),
+    "mut_change_kind" -> ((s, _) =>
+      SpanQueries.countByKind(Mutators.changeKind(Fixtures.docs(s), "heading2", "paragraph"))),
+    "mut_cell_text" -> ((s, _) =>
+      SpanQueries.flattenSpans(Mutators.setCellText(Fixtures.docs(s), 0, 0, "TOP-LEFT"))
+        .where(col("kind") === "table_cell" && col("media_ref") === "0,0")),
+    "mut_move_section" -> ((s, _) =>
+      SpanQueries.flattenSpans(Mutators.moveSectionToEnd(Fixtures.docs(s), "shopping"))
+        .where(col("doc_id").like("doc-lists-%"))),
+    "mut_props" -> ((s, _) => {
+      val mutated = Mutators.removeProperty(
+        Mutators.setProperty(Fixtures.raw(s), "reviewer", "temp"), "reviewer")
+      mutated.select(col("doc_id"), size(map_keys(col("meta"))).cast("long").as("n_keys"))
+    }),
+
+    // ---- style/link analytics over the raw table (A2/J1) ----
+    "a2_style_dist" -> ((s, _) =>
+      Fixtures.raw(s).select(explode(col("spans")).as("sp"))
+        .where(col("sp.kind") === "p")
+        .select(regexp_extract(col("sp.text"), "@style=([^;|]+)", 1).as("style"))
+        .where(col("style") =!= "")
+        .groupBy("style").agg(count(lit(1)).as("n"))),
+    "j1_link_urls" -> ((s, _) => {
+      val raw = Fixtures.raw(s)
+      val links = raw.select(col("doc_id"), explode(col("spans")).as("sp"))
+        .where(col("sp.kind") === "p")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("sp.text"), lit("link:([^:|]+):"), lit(1))).as("rel_id"))
+      val rels = raw.select(col("doc_id"), explode(col("spans")).as("sp"))
+        .where(col("sp.kind") === "rel")
+        .select(col("doc_id"),
+          regexp_extract(col("sp.text"), "@id=([^;|]+)", 1).as("rel_id"),
+          regexp_extract(col("sp.text"), "@url=([^;|]+)", 1).as("url"))
+      links.join(rels, Seq("doc_id", "rel_id"), "left")
+    }),
+    "t_rolling_fp" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.RollingHash64(TextAnalysis.normalized(col("text"))).as("rfp"))),
+
     "ops_lineage" -> ((s, _) => {
       import s.implicits._
       Fixtures.ensure(s)
@@ -216,6 +267,44 @@ object SparkEntry {
     "x3_compare_oracle" ->
       s"""SELECT doc_id, true AS equal, false AS missing_extracted, false AS missing_oracle
          |FROM ${fixturesSql("expected_docs")}""".stripMargin,
+    "x4_annotated_spans" ->
+      s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("annotated_docs")})""".stripMargin,
+    "mut_set_cc" ->
+      s"""SELECT doc_id, u.kind AS kind,
+         |  CASE WHEN split_part(u.media_ref, ':', 2) = '1002' THEN 'REDACTED' ELSE u.text END AS text,
+         |  u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})
+         |WHERE u.kind = 'content_control'""".stripMargin,
+    "mut_remove_cc" ->
+      s"""SELECT doc_id, e.kind AS kind, e.text AS text, e.media_ref AS media_ref,
+         |  CAST(i AS INTEGER) AS "offset"
+         |FROM (SELECT doc_id, UNNEST(fs) AS e, UNNEST(range(len(fs))) AS i
+         |      FROM (SELECT doc_id, list_filter(spans, s -> s.kind <> 'content_control') AS fs
+         |            FROM ${fixturesSql("docs")} WHERE doc_id LIKE 'doc-sdt-%'))""".stripMargin,
+    "mut_change_kind" ->
+      s"""SELECT CASE WHEN u.kind = 'heading2' THEN 'paragraph' ELSE u.kind END AS kind, count(*) AS n
+         |FROM (SELECT UNNEST(spans) AS u FROM ${fixturesSql("docs")}) GROUP BY 1""".stripMargin,
+    "mut_cell_text" ->
+      s"""SELECT doc_id, u.kind AS kind, 'TOP-LEFT' AS text, u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})
+         |WHERE u.kind = 'table_cell' AND u.media_ref = '0,0'""".stripMargin,
+    "mut_props" ->
+      s"""SELECT doc_id, CAST(len(list_filter(map_keys(meta), k -> k <> 'reviewer')) AS BIGINT) AS n_keys
+         |FROM ${fixturesSql("raw_docs")}""".stripMargin,
+    "a2_style_dist" ->
+      s"""SELECT style, count(*) AS n FROM (
+         |  SELECT regexp_extract(u.text, '@style=([^;|]+)', 1) AS style
+         |  FROM (SELECT UNNEST(spans) AS u FROM ${fixturesSql("raw_docs")}) WHERE u.kind = 'p')
+         |WHERE style <> '' GROUP BY 1""".stripMargin,
+    "j1_link_urls" ->
+      s"""WITH p AS (SELECT doc_id, UNNEST(regexp_extract_all(u.text, 'link:([^:|]+):', 1)) AS rel_id
+         |  FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("raw_docs")}) WHERE u.kind = 'p'),
+         |r AS (SELECT doc_id, regexp_extract(u.text, '@id=([^;|]+)', 1) AS rel_id,
+         |    regexp_extract(u.text, '@url=([^;|]+)', 1) AS url
+         |  FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("raw_docs")}) WHERE u.kind = 'rel')
+         |SELECT p.doc_id AS doc_id, p.rel_id AS rel_id, r.url AS url
+         |FROM p LEFT JOIN r ON p.doc_id = r.doc_id AND p.rel_id = r.rel_id""".stripMargin,
     "q_all_text" ->
       s"""SELECT doc_id, array_to_string(list_transform(list_filter(spans,
          |  s -> s.kind NOT IN ('table', 'image') AND s.text <> ''), s -> s.text), chr(10)) AS text

@@ -32,15 +32,17 @@ object Extract {
     val errors: LongAccumulator = spark.sparkContext.longAccumulator("graft.errors")
   }
 
-  /** Zero-shuffle default path: narrow mapPartitions over the scan. */
-  def run(raw: Dataset[RawDoc], metrics: Option[Metrics] = None): Dataset[Extracted] = {
+  /** Zero-shuffle default path: narrow mapPartitions over the scan.
+    * `annotate = true` switches to the A4 metadata-annotation rendering. */
+  def run(raw: Dataset[RawDoc], metrics: Option[Metrics] = None,
+          annotate: Boolean = false): Dataset[Extracted] = {
     val spark = raw.sparkSession
     import spark.implicits._
     raw.mapPartitions { it =>
       it.map { rd =>
         metrics.foreach { m => m.docs.add(1); m.spansIn.add(rd.spans.length) }
         try {
-          val d = Extractor.extract(rd)
+          val d = if (annotate) Extractor.extractAnnotated(rd) else Extractor.extract(rd)
           metrics.foreach(_.spansOut.add(d.spans.length))
           Extracted(d.doc_id, d.spans, null)
         } catch {

@@ -37,41 +37,44 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** MinHash signature of the text's shingle set: `numHashes` permutations
-    * approximated as xxhash64(shingle, seed_i); each signature slot is the
-    * min hash under that seed. Pure HOFs — computed map-side in codegen.
+  /** MinHash signature over a (materialized) shingle-array column:
+    * `numHashes` permutations approximated as xxhash64(seed_i, shingle);
+    * each slot is the min hash under that seed. Pure HOF — map-side codegen.
     */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 5): Column = {
-    val shingles = TextAnalysis.charShingles(text, shingleSize)
+  def minHashSignatureOf(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shingles, s => xxhash64(lit(seed), s)))
     }: _*)
-  }
 
-  /** LSH candidate pairs: band the signature (`numBands` bands of `rowsPerBand`
-    * slots), hash each band, self-join on (band_idx, band_hash). Returns
-    * candidate pairs (a < b) with their estimated Jaccard (signature
-    * agreement) and exact n-gram Jaccard, filtered at `threshold`.
+  /** LSH candidate pairs: band the signature (`numBands` bands of
+    * `rowsPerBand` slots), hash each band, self-join on (band_idx,
+    * band_hash). Plan discipline for scale:
+    *  1. shingles are materialized ONCE per row (not re-derived per hash);
+    *  2. the band self-join shuffles ONLY (band, doc_id) pairs — never the
+    *     signature or shingle payloads;
+    *  3. payloads re-join onto the (small) deduped candidate set afterwards
+    *     (AQE broadcasts the feature side when it fits).
+    * Returns pairs (a < b) with estimated (signature-agreement) and exact
+    * n-gram Jaccard, filtered at `threshold`.
     */
   def minHashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             numHashes: Int = 32, numBands: Int = 8,
-                            shingleSize: Int = 5): DataFrame = {
+                            ngram: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sigs = documents.select(col("doc_id"),
-      minHashSignature(col("text"), numHashes, shingleSize).as("sig"),
-      TextAnalysis.charShingles(col("text"), shingleSize).as("shingles"))
-    val banded = sigs.select(col("doc_id"), col("sig"), col("shingles"),
+    val features = documents
+      .select(col("doc_id"), TextAnalysis.wordShingles(col("text"), ngram).as("sh"))
+      .select(col("doc_id"), col("sh"), minHashSignatureOf(col("sh"), numHashes).as("sig"))
+    val banded = features.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
         .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"),
-      col("sig").as("sig_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("b"),
-      col("sig").as("sig_b"), col("shingles").as("sh_b"))
-    val cand = a.join(b, Seq("band_idx", "band_hash")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("a", "b")
-    cand
+    val cand = banded.select(col("band_hash"), col("doc_id").as("a"))
+      .join(banded.select(col("band_hash"), col("doc_id").as("b")), Seq("band_hash"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val fa = features.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val fb = features.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
+    cand.join(fa, "a").join(fb, "b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / lit(numHashes.toDouble))

@@ -46,11 +46,22 @@ object Extractor {
   final case class Ctx(
       styles: Map[String, (Option[Int], Option[String])], // styleId -> (outline, basedOn)
       rels: Map[String, String],                          // relId -> url
-      meta: Map[String, String])                          // lowercased property name -> value
+      meta: Map[String, String],                          // lowercased property name -> value
+      annotate: Boolean = false)                          // A4 metadata-annotation mode
 
   def extract(doc: RawDoc): Doc = {
     val body = doc.spans.sortBy(_.offset)
     val ctx = buildCtx(body, Option(doc.meta).getOrElse(Map.empty))
+    Doc(doc.doc_id, reindex(walk(body, ctx)))
+  }
+
+  /** `GetAllTextWithMetadata` extraction mode (A4, `DocumentNode.cs:75-163`,
+    * `DocumentPropertyExtensions.cs:60-79`): identical walk, but resolved
+    * DOCPROPERTY fields render as `[DocProperty:NAME="value"]` and inline
+    * SDT runs as `[ContentControl:type id=ID]text`. */
+  def extractAnnotated(doc: RawDoc): Doc = {
+    val body = doc.spans.sortBy(_.offset)
+    val ctx = buildCtx(body, Option(doc.meta).getOrElse(Map.empty)).copy(annotate = true)
     Doc(doc.doc_id, reindex(walk(body, ctx)))
   }
 
@@ -183,7 +194,11 @@ object Extractor {
           parseDocProperty(instr.toString) match {
             case Some(name) =>
               ctx.meta.get(name.toLowerCase) match {
-                case Some(value) => sb.append(value)
+                case Some(value) =>
+                  // annotated rendering: DocumentPropertyField.ToMetadataString
+                  // (`DocumentPropertyField.cs:31-32`)
+                  if (ctx.annotate) sb.append(s"""[DocProperty:$name="$value"]""")
+                  else sb.append(value)
                 case None => sb.append(result)
               }
             case None => sb.append(result)
@@ -207,10 +222,18 @@ object Extractor {
         val c = rest.indexOf(':')
         sink.append(if (c >= 0) rest.substring(c + 1) else rest)
       } else if (tok.startsWith("sdtrun:")) {
-        // sdtrun:<type>,<id>,<tag>:<text> — inline SDT run text inlined (:984-1026)
+        // sdtrun:<type>,<id>,<tag>:<text> — inline SDT run text inlined (:984-1026);
+        // annotated mode prefixes the control descriptor (`DocumentNode.cs:145-153`)
         val rest = tok.substring(7)
         val c = rest.indexOf(':')
-        sink.append(if (c >= 0) rest.substring(c + 1) else "")
+        val txt = if (c >= 0) rest.substring(c + 1) else ""
+        if (ctx.annotate) {
+          val parts = (if (c >= 0) rest.substring(0, c) else rest).split(',')
+          val ty = if (parts.length > 0) parts(0) else ""
+          val id = if (parts.length > 1) parts(1) else ""
+          sink.append(s"[ContentControl:$ty id=$id]")
+        }
+        sink.append(txt)
       } else if (tok == "bookmark" || tok == "prooferr") {
         // skipped (:620-624)
       } else {

@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.{Dedup, RollingHash64, Similarity, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data operators: planted near-duplicates must be found, the ANN
+  * paths must agree on planted neighbors, the custom codegen expression must
+  * match its reference implementation.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep green forest to hide from the loud hunters"
+
+  test("exact dedup groups identical normalized texts") {
+    val df = docsDf(1L -> base, 2L -> (base.toUpperCase), 3L -> "totally different content here",
+      4L -> ("  " + base.replaceAll(" ", "   ") + " "))
+    val dups = Dedup.exactDuplicates(df).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getLong(1) == 3) // docs 1,2,4 share a fingerprint
+    assert(dups.head.getLong(2) == 1)
+    assert(Dedup.dropExactDuplicates(df).count() == 2)
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
+    val nearDup = base.replace("lazy", "sleepy") // one-token edit
+    val other = "completely unrelated sentence about spark catalyst optimizer rules and physical plans at scale"
+    val df = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minHashNearDuplicates(df, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val j = pairs.head.getDouble(3)
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("simhash near-dup by hamming distance") {
+    val nearDup = base.replace("dog", "cat")
+    val other = "absolutely nothing in common with that text whatsoever just noise tokens qwerty asdf zxcv plumbus"
+    val df = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.simHashNearDuplicates(df, maxHamming = 10).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.contains((1L, 3L)) && !ids.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard pairs agree with direct computation") {
+    val df = docsDf(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> "other words entirely")
+    val got = Dedup.ngramJaccardPairs(df, 3, 0.3).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    def sh(t: String) = t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val exp = sh(base).intersect(sh(base.replace("lazy", "sleepy"))).size.toDouble /
+      sh(base).union(sh(base.replace("lazy", "sleepy"))).size
+    assert(math.abs(got.head.getDouble(2) - exp) < 1e-6)
+  }
+
+  private def embDf(rows: (Long, Seq[Float])*) = {
+    val schema = StructType(Seq(StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }), schema)
+  }
+
+  test("brute-force top-k returns the planted nearest neighbor, ties broken by id") {
+    val v = Seq.fill(8)(1.0f)
+    val near = v.updated(0, 0.9f)
+    val far = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = embDf(1L -> v, 2L -> near, 3L -> far)
+    val top = Similarity.bruteForceTopK(df.where(col("vec_id") === 1), df, 2).collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+    assert(top.head.getDouble(3) > 0.99)
+  }
+
+  test("LSH ANN recalls the planted neighbor of brute force") {
+    val r = new java.util.Random(7)
+    val vecs = (0L until 100L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
+    val planted = 100L -> vecs(5)._2.map(x => x * 0.98f + 0.01f)
+    val df = embDf((vecs :+ planted): _*)
+    val brute = Similarity.bruteForceTopK(df.where(col("vec_id") === 100), df, 1).collect()
+    assert(brute.head.getLong(2) == 5L)
+    val lsh = Similarity.lshTopK(df.where(col("vec_id") === 100), df, 1, bits = 16, numBands = 8).collect()
+    assert(lsh.head.getLong(2) == 5L) // recalled through the bucket join
+  }
+
+  test("RollingHash64 codegen matches the reference implementation") {
+    import spark.implicits._
+    val texts = Seq("", "a", "hello world", "üñïçødé ✓", base)
+    val df = texts.toDF("t").select(RollingHash64(col("t")).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq == texts.map(RollingHash64.of))
+  }
+
+  test("text analysis: token counts, language id, quality bounds") {
+    val df = docsDf(1L -> "the cat is on the mat and it was fine",
+      2L -> "der hund ist nicht der beste und das ist ok",
+      3L -> "", 4L -> "le chat est dans la maison pour une nuit")
+    val langs = df.select(col("doc_id"), TextAnalysis.langGuess(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "fr"))
+    val toks = df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(toks.toSeq == Seq(10, 10, 0, 9))
+    val q = df.select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("media decode stub + frame sampling preserve schema and determinism") {
+    import spark.implicits._
+    val media = Fixtures.media(spark).as[graft.model.MediaRow]
+    val feats = graft.multimodal.Multimodal.decodeImageMeta(media).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.byte_len > 0 && f.format == "png"))
+    val again = graft.multimodal.Multimodal.decodeImageMeta(media).collect()
+    assert(feats.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+  }
+}
