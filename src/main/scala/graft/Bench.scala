@@ -31,14 +31,24 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** End-to-end extraction: scan → mapPartitions extract → write. Returns
-    * (seconds, docs). */
-  def extractionJob(spark: SparkSession, chunked: Boolean): (Double, Long) = {
+  /** End-to-end extraction: scan → extract → write. `mode` selects the
+    * typed mapPartitions path, the chunked skew path, or the fused
+    * Catalyst-expression fast path. Returns (seconds, docs). */
+  def extractionJob(spark: SparkSession, mode: String): (Double, Long) = {
     import spark.implicits._
-    val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath).as[RawDoc]
+    import org.apache.spark.sql.functions.col
     val sec = time {
-      val ex = if (chunked) Extract.runChunked(raw) else Extract.run(raw)
-      Extract.good(ex).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
+      mode match {
+        case "expr" =>
+          // full output, unfiltered: a filter on x.error would push below the
+          // project and re-evaluate the extraction expression (see PLANS.md)
+          val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath)
+          Extract.runExpr(raw).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
+        case m =>
+          val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath).as[RawDoc]
+          val ex = if (m == "chunked") Extract.runChunked(raw) else Extract.run(raw)
+          Extract.good(ex).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
+      }
     }
     val n = spark.read.parquet(BenchOutPath).count()
     (sec, n)
@@ -60,10 +70,14 @@ object Bench {
     Fixtures.ensure(spark)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // flagship: extraction throughput (docs/sec printed separately)
-    val (extractSec, extractedDocs) = extractionJob(spark, chunked = false)
+    // flagship: extraction throughput (docs/sec printed separately); the
+    // fused-expression path is the production one
+    extractionJob(spark, "expr") // warmup (JIT/codegen)
+    val (extractSec, extractedDocs) = extractionJob(spark, "expr")
     results += "extract" -> extractSec
-    val (chunkedSec, _) = extractionJob(spark, chunked = true)
+    val (typedSec, _) = extractionJob(spark, "typed")
+    results += "extract_typed" -> typedSec
+    val (chunkedSec, _) = extractionJob(spark, "chunked")
     results += "extract_chunked" -> chunkedSec
     // headline queries (same entries the correctness gate runs)
     val headline = Seq("x1_extract_spans", "q_all_text", "q_count_by_kind", "q_doc_stats",

@@ -1,0 +1,95 @@
+package graft
+
+import graft.corpus.SyntheticCorpus
+import graft.core.Extract
+import graft.model.RawDoc
+import graft.oracle.Extractor
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan + hot-path audit (the ".explain and iterate" loop):
+  *  1. measures the pure-Scala extraction rate (no Spark) against the Spark
+  *     per-core rate — quantifies encoder ser/de overhead;
+  *  2. dumps `explain("formatted")` for the load-bearing queries to
+  *     PLANS.md so scan pruning / codegen spans / join strategies are
+  *     reviewable.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- 1. pure-Scala rate vs Spark rate -------------------------------
+    val docs = (0L until 20000L).map(i => SyntheticCorpus.rawDoc(SyntheticCorpus.docIdFor(i))).toArray
+    // warmup (poison docs throw by design — swallow)
+    docs.take(2000).foreach(d => try Extractor.extract(d) catch { case _: Exception => })
+    val t0 = System.nanoTime()
+    var n = 0
+    docs.foreach { d => try { Extractor.extract(d); n += 1 } catch { case _: Exception => } }
+    val pureSec = (System.nanoTime() - t0) / 1e9
+    val pureRate = n / pureSec
+
+    val ds = docs.toSeq.toDS().repartition(8).persist()
+    ds.count()
+    def timeIt(f: => Unit): Double = { f; val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    // decomposition: input deserialization alone vs full pipeline
+    val deserSec = timeIt { ds.foreach(_ => ()) }
+    val runOnly = timeIt { Extract.run(ds).foreach(_ => ()) }
+    val sparkSec = timeIt { Extract.good(Extract.run(ds)).foreach(_ => ()) }
+    val exprSec = timeIt { Extract.runExpr(ds.toDF()).foreach(_ => ()) }
+    val sparkRate = n / sparkSec / 8 // per-core
+    println(f"DECOMP deser=$deserSec%.2fs run=$runOnly%.2fs run+good=$sparkSec%.2fs expr=$exprSec%.2fs (8 cores, ${docs.length} docs)")
+
+    val exprRate = n / exprSec / 8
+    val summary =
+      f"""# PLANS — plan audit & hot-path profile (round 1)
+         |
+         |## Hot path: encoder overhead
+         |
+         || measure | rate |
+         ||---|---|
+         || pure Scala single-thread extraction | $pureRate%.0f docs/sec |
+         || typed mapPartitions path per-core (local[8]) | $sparkRate%.0f docs/sec |
+         || fused extract_spans expression per-core (local[8]) | $exprRate%.0f docs/sec |
+         || typed-path encoder+framework overhead | ${100 * (1 - sparkRate / pureRate)}%.1f%% |
+         |
+         |PITFALL (verified): filtering on the expression's output struct
+         |(`where(x.error is null)`) gets pushed below the project and the
+         |optimizer substitutes the alias — extract_spans then appears 3x in
+         |the physical plan and extraction runs 3x per row. Production jobs
+         |write the full (doc_id, spans, error) output and split downstream,
+         |or persist before splitting (Lineage does the latter).
+         |
+         |""".stripMargin
+
+    // --- 2. explain dumps ----------------------------------------------
+    def explainOf(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val qe = df.queryExecution
+      s"## $name\n\n```\n${qe.explainString(org.apache.spark.sql.execution.FormattedMode)}\n```\n\n"
+    }
+    val sb = new StringBuilder(summary)
+    val fx = Fixtures.docs(spark)
+    sb ++= explainOf("q_all_text (per-row HOF — expect: single scan, no exchange, one WholeStageCodegen)",
+      graft.queries.SpanQueries.allText(fx))
+    sb ++= explainOf("q_count_by_kind (explode + partial/final hash agg — expect: 1 exchange)",
+      graft.queries.SpanQueries.countByKind(fx))
+    sb ++= explainOf("q_section_text (zero-shuffle section slice)",
+      graft.queries.SpanQueries.sectionText(fx, "shopping"))
+    sb ++= explainOf("d_minhash (band join ships ids only; payload re-join on candidates)",
+      graft.functions.Dedup.minHashNearDuplicates(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.5))
+    sb ++= explainOf("s_ann_top1 (broadcast queries; window top-k)",
+      graft.functions.Similarity.bruteForceTopK(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 1))
+    sb ++= explainOf("scan pruning check: q_doc_stats reads only needed struct fields",
+      graft.queries.SpanQueries.docStats(fx))
+    Files.write(Paths.get("/root/repo/PLANS.md"), sb.toString.getBytes)
+    println(f"AUDIT pure=$pureRate%.0f/s spark_per_core=$sparkRate%.0f/s overhead=${100 * (1 - sparkRate / pureRate)}%.1f%%")
+    spark.stop()
+  }
+}

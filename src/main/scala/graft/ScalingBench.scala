@@ -41,13 +41,16 @@ object ScalingBench {
     s
   }
 
-  /** End-to-end extraction: scan → mapPartitions extract → write (tmpfs). */
+  /** End-to-end extraction: scan → fused extract_spans → write (tmpfs).
+    * Uses the Catalyst-native fast path (see PLANS.md). The FULL output
+    * (doc_id, spans, error) is written unfiltered: a pre-write filter on
+    * `x.error` would be pushed below the project and re-evaluate the
+    * extraction expression per row — quarantine splitting is a downstream
+    * (or partitioned-write) concern. */
   private def job(spark: SparkSession): (Double, Long) = {
-    import spark.implicits._
-    val raw = spark.read.schema(graft.model.Schemas.rawDocs)
-      .parquet(Bench.BenchRawPath).as[RawDoc]
+    val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(Bench.BenchRawPath)
     val t0 = System.nanoTime()
-    Extract.good(Extract.run(raw)).write.mode(SaveMode.Overwrite).parquet(OutPath)
+    Extract.runExpr(raw).write.mode(SaveMode.Overwrite).parquet(OutPath)
     val sec = (System.nanoTime() - t0) / 1e9
     val n = spark.read.parquet(OutPath).count()
     (sec, n)

@@ -69,6 +69,24 @@ object Extract {
     ds.filter(_.error != null).map(e => Quarantined(e.doc_id, e.error))
   }
 
+  /** Catalyst-native fast path: the fused `extract_spans` expression
+    * (see [[graft.functions.ExtractSpansExpr]]) — same semantic core, no
+    * typed-encoder round trip. Input: the raw DataFrame (doc_id, spans[,
+    * meta]); output columns (doc_id, spans, error) with error != null marking
+    * quarantined rows. Prefer this for pure-throughput extraction jobs; the
+    * typed mapPartitions path remains for metric accumulation.
+    */
+  def runExpr(raw: org.apache.spark.sql.DataFrame, annotate: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val metaCol = if (raw.columns.contains("meta")) col("meta")
+                  else org.apache.spark.sql.functions.lit(null)
+        .cast(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    raw.select(col("doc_id"),
+        graft.functions.ExtractSpansExpr(col("spans"), metaCol, annotate).as("x"))
+      .select(col("doc_id"), col("x.spans").as("spans"), col("x.error").as("error"))
+  }
+
   /** Skew-handling path for mega-documents (SURVEY.md §4.3.1): split
     * oversized docs into chunks at top-level element boundaries, hash-
     * repartition `(doc_id, chunk_id)` so one 10^6-span document no longer

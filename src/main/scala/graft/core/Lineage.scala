@@ -68,20 +68,22 @@ object Lineage {
         case Some(row) if row.input_fingerprint == fp => row // resume: skip
         case _ =>
           val t0 = System.nanoTime()
-          val raw = spark.read.schema(graft.model.Schemas.rawDocs)
-            .parquet(files: _*).as[RawDoc]
-          val extracted = (if (chunked) Extract.runChunked(raw) else Extract.run(raw))
-            .persist()
+          import org.apache.spark.sql.functions._
+          val rawDf = spark.read.schema(graft.model.Schemas.rawDocs).parquet(files: _*)
+          // chunked: typed skew path; default: fused-expression fast path
+          val extracted = (if (chunked) Extract.runChunked(rawDf.as[RawDoc]).toDF()
+                           else Extract.runExpr(rawDf)).persist()
           try {
-            Extract.good(extracted).write.mode(SaveMode.Overwrite)
+            val good = extracted.where(col("error").isNull).select("doc_id", "spans")
+            val bad = extracted.where(col("error").isNotNull).select("doc_id", "error")
+            good.write.mode(SaveMode.Overwrite)
               .parquet(s"$outPath/docs/batch=$batchId")
-            Extract.quarantined(extracted).write.mode(SaveMode.Overwrite)
+            bad.write.mode(SaveMode.Overwrite)
               .parquet(s"$outPath/quarantine/batch=$batchId")
-            import org.apache.spark.sql.functions._
-            val stats = Extract.good(extracted)
+            val stats = good
               .agg(count(lit(1)), coalesce(sum(size(col("spans"))), lit(0L))).head()
             val (docs, spans) = (stats.getLong(0), stats.getLong(1))
-            val errs = Extract.quarantined(extracted).count()
+            val errs = bad.count()
             val row = LineageRow(batchId, fp, docs, spans, errs,
               (System.nanoTime() - t0) / 1000000,
               java.time.Instant.now().toString)

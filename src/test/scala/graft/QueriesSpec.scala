@@ -116,6 +116,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("SpanTree renders the recovered hierarchy with H-labels and indent") {
+    import graft.model.Span
+    val spans = Seq(
+      Span("heading1", "Intro", null, 0), Span("paragraph", "p1", null, 1),
+      Span("heading2", "Sub", null, 2), Span("paragraph", "x" * 100, null, 3))
+    val r = graft.queries.SpanTree.render(spans).split("\n")
+    assert(r(0) == "  [H1] Intro")
+    assert(r(1) == "    [paragraph] p1")
+    assert(r(2) == "    [H2] Sub")
+    assert(r(3).startsWith("      [paragraph] " + "x" * 77) && r(3).endsWith("..."))
+  }
+
+  test("KindCountAggregator matches groupBy count per doc") {
+    import spark.implicits._
+    val ds = docsSeq.take(20).flatMap(_.spans).toDS()
+    val agg = ds.select(graft.functions.KindCountAggregator.toColumn).head()
+    val exp = docsSeq.take(20).flatMap(_.spans).groupBy(_.kind).view.mapValues(_.size.toLong).toMap
+    assert(agg == exp)
+  }
+
   test("annotated extraction renders DocProperty + ContentControl markers") {
     import spark.implicits._
     val raw = Seq(graft.model.RawDoc("a", Seq(

@@ -74,6 +74,27 @@ class SparkExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("fused extract_spans expression == oracle (incl. quarantine surface)") {
+    import spark.implicits._
+    val raw = corpus(400) ++ Seq(SyntheticCorpus.rawDoc("doc-poison-000001009"),
+      SyntheticCorpus.rawDoc("doc-mega-000000997"))
+    val expected = oracleOf(raw)
+    val out = Extract.runExpr(raw.toDS().toDF()).collect()
+    assert(out.length == raw.length)
+    out.foreach { r =>
+      val id = r.getString(0)
+      if (r.isNullAt(1)) {
+        assert(!expected.contains(id), s"$id quarantined but oracle extracted it")
+        assert(r.getString(2) != null && r.getString(2).nonEmpty)
+      } else {
+        val spans = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => graft.model.Span(x.getString(0), x.getString(1), x.getString(2), x.getInt(3)))
+        assert(expected(id).spans == spans, s"mismatch for $id")
+        assert(r.isNullAt(2))
+      }
+    }
+  }
+
   test("extraction is deterministic and idempotent across partitionings") {
     import spark.implicits._
     val raw = corpus(120)
