@@ -30,4 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // Scaling measurements: make the JVM believe it owns exactly N cores so
   // GC/JIT/netty pools size like an N-core executor container would
-  sys.env.get("SPARK_GRAFT_PROCS").map(n => s"-XX:ActiveProcessorCount=$n").toSeq
+  sys.env.get("SPARK_GRAFT_PROCS").map(n => s"-XX:ActiveProcessorCount=$n").toSeq ++
+  // extra JVM flags for experiments (GC logging/choice), space-separated
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

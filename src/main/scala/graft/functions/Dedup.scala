@@ -37,14 +37,13 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** MinHash signature over a (materialized) shingle-array column:
-    * `numHashes` permutations approximated as xxhash64(seed_i, shingle);
-    * each slot is the min hash under that seed. Pure HOF — map-side codegen.
-    */
+  /** MinHash signature over a (materialized) shingle-array column — the
+    * one-pass native expression (see [[MinHashSigExpr]]): each shingle hashed
+    * once, k permutation values via splitmix mixing. (The earlier pure-HOF
+    * formulation — k × array_min(transform(·, xxhash64)) — re-walked the
+    * array k times and dominated the dedup benchmark.) */
   def minHashSignatureOf(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
-    }: _*)
+    MinHashSigExpr(shingles, numHashes)
 
   /** LSH candidate pairs: band the signature (`numBands` bands of
     * `rowsPerBand` slots), hash each band, self-join on (band_idx,
@@ -114,17 +113,10 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of token
-    * hashes. Expressed as HOFs: for each bit, count tokens whose hash has
-    * the bit set vs total, set bit if majority. */
-  def simHash(text: Column): Column = {
-    val toks = split(TextAnalysis.normalized(text), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(toks)
-    (0 until 64).map { bit =>
-      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << bit)) =!= 0))
-      when(ones * 2 > n, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * hashes, as a one-pass native expression (see [[SimHash64Expr]] — the
+    * 64-filter-HOF formulation scanned the token array 64 times per row). */
+  def simHash(text: Column): Column =
+    SimHash64Expr(split(TextAnalysis.normalized(text), " "))
 
   /** SimHash near-dups: band the 64-bit signature into four 16-bit chunks
     * (pigeonhole: hamming distance <= 3 → at least one identical chunk),
