@@ -220,6 +220,7 @@ object SparkEntry {
     "d_minhash" -> ((s, dir) => Dedup.minHashNearDuplicates(documents(s, dir), 0.5)),
     "d_simhash" -> ((s, dir) => Dedup.simHashNearDuplicates(documents(s, dir), 3)),
     "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
+    "d_embed_neardup_lsh" -> ((s, dir) => Dedup.embeddingNearDuplicatesLsh(embeddings(s, dir), 0.9)),
 
     // ---- similarity search ----
     "s_ann_top1" -> ((s, dir) => {

@@ -138,9 +138,38 @@ object Dedup {
 
   // -------------------------------------------------- embedding near-dup
 
+  /** Embedding-cosine near-duplicates, LSH-bucketed (the 100 TB path): pairs
+    * must share at least one random-hyperplane signature band to be scored —
+    * a bucket self-join instead of the cross product. High-cosine pairs have
+    * near-identical sign patterns, so recall at near-dup thresholds is high
+    * (verified against [[embeddingNearDuplicates]] in tests). */
+  def embeddingNearDuplicatesLsh(embeddings: DataFrame, threshold: Double = 0.95,
+                                 bits: Int = 16, numBands: Int = 8): DataFrame = {
+    val rowsPerBand = bits / numBands
+    val feats = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.l2Norm(col("embedding")).as("norm"),
+      Similarity.rhpSignature(col("embedding"), bits).as("sig"))
+    val banded = feats.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => to_json(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+        .as(Seq("band_idx", "band_key")))
+    val cand = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
+        Seq("band_idx", "band_key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val fa = feats.select(col("vec_id").as("a"), col("embedding").as("va"), col("norm").as("na"))
+    val fb = feats.select(col("vec_id").as("b"), col("embedding").as("vb"), col("norm").as("nb"))
+    cand.join(fa, "a").join(fb, "b")
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
+        greatest(col("na") * col("nb"), lit(1e-12)))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicates over `embeddings(vec_id, embedding)`:
-    * exact pairwise cosine above threshold. The LSH-bucketed variant in
-    * [[Similarity]] is the scale path; this exact form serves as its recall
+    * exact pairwise cosine above threshold. [[embeddingNearDuplicatesLsh]]
+    * is the scale path; this exact form serves as its recall
     * oracle at test scale. */
   def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"),

@@ -87,6 +87,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(lsh.head.getLong(2) == 5L) // recalled through the bucket join
   }
 
+  test("LSH embedding near-dup recalls the exact path's pairs at high cosine") {
+    val r = new java.util.Random(11)
+    val base = (0L until 60L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
+    // plant two near-dup pairs
+    val planted = Seq(
+      100L -> base(3)._2.map(x => x * 0.995f),
+      101L -> base(7)._2.map(x => (x * 0.99f + 0.001f)))
+    val df = embDf((base ++ planted): _*)
+    val exact = Dedup.embeddingNearDuplicates(df, 0.98).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.contains((3L, 100L)) && exact.contains((7L, 101L)))
+    val lsh = Dedup.embeddingNearDuplicatesLsh(df, 0.98).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(lsh == exact) // full recall at near-dup cosine
+  }
+
   test("RollingHash64 codegen matches the reference implementation") {
     import spark.implicits._
     val texts = Seq("", "a", "hello world", "üñïçødé ✓", base)
