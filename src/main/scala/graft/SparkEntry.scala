@@ -254,7 +254,24 @@ object SparkEntry {
     }),
     "r_events_hour" -> ((s, dir) => s.read.parquet(s"$dir/events.parquet")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("string").as("h"))
-      .agg(count(lit(1)).as("n")))
+      .agg(count(lit(1)).as("n"))),
+    "r_sessions" -> ((s, dir) => {
+      // gap-based sessionization (30-min inactivity): the batch analog of a
+      // streaming session window — lag + cumulative-sum-of-boundaries
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"))
+    })
   )
 
   // --------------------------------------------------------------- oracle
@@ -423,6 +440,19 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "r_events_hour" ->
       """SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS h, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "r_sessions" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  round(sum(value), 4) AS session_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+        |FROM s GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,8 +1,10 @@
 import duckdb, json, glob, sys
 import pandas as pd
 
-sf = "/root/testdata/sf0.01"
-out = "/tmp/verify_out"
+import sys
+sf = sys.argv[1] if len(sys.argv)>1 else "/root/testdata/sf0.01"
+out_arg = sys.argv[2] if len(sys.argv)>2 else "/tmp/verify_out"
+out = out_arg
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     try: con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
