@@ -146,7 +146,7 @@ final case class ChunkOut(doc_id: String, chunk_id: Int, spans: Seq[Span], error
   */
 object Chunker {
   def split(doc: RawDoc, maxSpans: Int): Seq[RawChunk] = {
-    val body = doc.spans.sortBy(_.offset)
+    val body = graft.oracle.Extractor.indexed(doc.spans).sortBy(_.offset)
     val meta = Option(doc.meta).getOrElse(Map.empty[String, String])
     if (body.length <= maxSpans)
       return Seq(RawChunk(doc.doc_id, 0, body, Nil, meta))

@@ -94,7 +94,7 @@ object SyntheticCorpus {
       case other => genRuns(b, r)
     }
     b.add("footnote", sentence(r, 3)) // trailing boilerplate
-    RawDoc(docId, b.spans.toSeq, meta)
+    RawDoc(docId, b.spans.toIndexedSeq, meta)
   }
 
   // ------------------------------------------------------------- families

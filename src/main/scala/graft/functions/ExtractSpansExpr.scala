@@ -60,7 +60,9 @@ case class ExtractSpansExpr(left: Expression, right: Expression, annotate: Boole
           r.getInt(3))
         i += 1
       }
-      val rawSorted = if (isSorted(raw)) raw.toSeq else raw.sortBy(_.offset).toSeq
+      val rawSorted: Seq[RawSpan] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          if (isSorted(raw)) raw else raw.sortBy(_.offset))
       val meta = metaMap(metaData)
       val ctx = Extractor.buildCtx(rawSorted, meta).copy(annotate = annotate)
       val out = Extractor.walk(rawSorted, ctx)

@@ -50,9 +50,31 @@ object Extractor {
       annotate: Boolean = false)                          // A4 metadata-annotation mode
 
   def extract(doc: RawDoc): Doc = {
-    val body = doc.spans.sortBy(_.offset)
+    val body = sortedBody(indexed(doc.spans))
     val ctx = buildCtx(body, Option(doc.meta).getOrElse(Map.empty))
     Doc(doc.doc_id, reindex(walk(body, ctx)))
+  }
+
+  /** `walk`/`parseTable`/`parseSdt` index into the body by position — a
+    * linked Seq (List) would make that O(n^2) (measured: 105 ms JUST to index
+    * a 9.4k-span mega doc). Normalize once. */
+  private[graft] def indexed(spans: Seq[RawSpan]): Seq[RawSpan] =
+    spans match {
+      case _: scala.collection.IndexedSeq[_] => spans
+      case s => scala.collection.immutable.ArraySeq.unsafeWrapArray(s.toArray)
+    }
+
+  /** Sort by offset only when needed (raw tables are usually already in
+    * document order; the copy is pure overhead on the hot path). */
+  private[graft] def sortedBody(spans: Seq[RawSpan]): Seq[RawSpan] = {
+    var prev = Int.MinValue
+    val it = spans.iterator
+    while (it.hasNext) {
+      val o = it.next().offset
+      if (o < prev) return spans.sortBy(_.offset)
+      prev = o
+    }
+    spans
   }
 
   /** `GetAllTextWithMetadata` extraction mode (A4, `DocumentNode.cs:75-163`,
@@ -60,7 +82,7 @@ object Extractor {
     * DOCPROPERTY fields render as `[DocProperty:NAME="value"]` and inline
     * SDT runs as `[ContentControl:type id=ID]text`. */
   def extractAnnotated(doc: RawDoc): Doc = {
-    val body = doc.spans.sortBy(_.offset)
+    val body = sortedBody(indexed(doc.spans))
     val ctx = buildCtx(body, Option(doc.meta).getOrElse(Map.empty)).copy(annotate = true)
     Doc(doc.doc_id, reindex(walk(body, ctx)))
   }
@@ -124,10 +146,22 @@ object Extractor {
 
   // --------------------------------------------------------------------- p
 
-  /** Fold a paragraph's token stream into (text, kind, media_ref). */
+  /** Fold a paragraph's token stream into (text, kind, media_ref). Hot path:
+    * scans the raw payload by index and appends character RANGES to the
+    * builder — no per-token substring allocation (the extraction job is
+    * allocation-bound at full parallelism, see BASELINE.md). */
   private[graft] def paragraphSpan(s: RawSpan, ctx: Ctx): Span = {
-    val (attrs, tokens) = Grammar.parseParagraph(s.text)
-    val text = foldRuns(tokens, ctx)
+    val payload = if (s.text == null) "" else s.text
+    // attrs segment (starts with '@') is rare — parse it alone, fold the rest
+    var tokensFrom = 0
+    var attrs: Map[String, String] = Map.empty
+    if (payload.startsWith("@")) {
+      val firstSep = payload.indexOf('|')
+      val seg = if (firstSep < 0) payload else payload.substring(0, firstSep)
+      attrs = Grammar.parseAttrs(seg)
+      tokensFrom = if (firstSep < 0) payload.length else firstSep + 1
+    }
+    val text = foldPayload(payload, tokensFrom, ctx)
     val level = headingLevel(attrs, ctx)
     if (level > 0) Span(Kinds.heading(level), text, null, -1)
     else attrs.get("numId") match {
@@ -176,72 +210,99 @@ object Extractor {
     * `:555-577`); other fields pass their buffered result runs through
     * (`:579-582`). Unterminated fields discard their buffered content.
     * tab→"\t", br/cr→" " (`DocumentNode.cs:67-69`); final trim (`:463`).
+    *
+    * Implementation note: scans `payload` from `from` by index and appends
+    * CHARACTER RANGES — no per-token substring allocation (hot path).
     */
-  private[graft] def foldRuns(tokens: Seq[String], ctx: Ctx): String = {
+  private[graft] def foldPayload(payload: String, from: Int, ctx: Ctx): String = {
     val sb = new java.lang.StringBuilder
     var state = 0 // 0=outside 1=field code 2=field result
     val instr = new java.lang.StringBuilder
     val result = new java.lang.StringBuilder
-    def sink: java.lang.StringBuilder = if (state == 2) result else sb
+    @inline def sink: java.lang.StringBuilder = if (state == 2) result else sb
+    @inline def is(tok: String, s: Int, e: Int, kw: String): Boolean =
+      e - s == kw.length && tok.regionMatches(s, kw, 0, kw.length)
+    @inline def starts(tok: String, s: Int, e: Int, kw: String): Boolean =
+      e - s >= kw.length && tok.regionMatches(s, kw, 0, kw.length)
 
-    tokens.foreach { tok =>
-      if (tok == "fldBegin") {
-        state = 1; instr.setLength(0); result.setLength(0)
-      } else if (tok == "fldSep") {
-        if (state == 1) state = 2
-      } else if (tok == "fldEnd") {
-        if (state != 0) {
-          parseDocProperty(instr.toString) match {
-            case Some(name) =>
-              ctx.meta.get(name.toLowerCase) match {
-                case Some(value) =>
-                  // annotated rendering: DocumentPropertyField.ToMetadataString
-                  // (`DocumentPropertyField.cs:31-32`)
-                  if (ctx.annotate) sb.append(s"""[DocProperty:$name="$value"]""")
-                  else sb.append(value)
+    val len = payload.length
+    var s = from
+    while (s < len) {
+      {
+        var e = payload.indexOf('|', s)
+        if (e < 0) e = len
+        if (e > s) { // empty segments skipped
+          if (is(payload, s, e, "fldBegin")) {
+            state = 1; instr.setLength(0); result.setLength(0)
+          } else if (is(payload, s, e, "fldSep")) {
+            if (state == 1) state = 2
+          } else if (is(payload, s, e, "fldEnd")) {
+            if (state != 0) {
+              parseDocProperty(instr.toString) match {
+                case Some(name) =>
+                  ctx.meta.get(name.toLowerCase) match {
+                    case Some(value) =>
+                      // annotated rendering: DocumentPropertyField.ToMetadataString
+                      // (`DocumentPropertyField.cs:31-32`)
+                      if (ctx.annotate) sb.append("[DocProperty:").append(name)
+                        .append("=\"").append(value).append("\"]")
+                      else sb.append(value)
+                    case None => sb.append(result)
+                  }
                 case None => sb.append(result)
               }
-            case None => sb.append(result)
+              state = 0
+            }
+          } else if (starts(payload, s, e, "instr:")) {
+            if (state == 1) {
+              if (instr.length > 0) instr.append(' ')
+              instr.append(payload, s + 6, e)
+            }
+          } else if (state == 1) {
+            // runs inside the field code region are ignored (only instrText counts)
+          } else if (starts(payload, s, e, "run:")) {
+            sink.append(payload, s + 4, e)
+          } else if (is(payload, s, e, "tab")) {
+            sink.append('\t')
+          } else if (is(payload, s, e, "cr") || starts(payload, s, e, "br:")) {
+            sink.append(' ')
+          } else if (starts(payload, s, e, "link:")) {
+            // link:<relId>:<display text> — display text inlined; URL stays in
+            // the rel map (metadata-only in the reference, :837-852)
+            var c = payload.indexOf(':', s + 5)
+            if (c < 0 || c >= e) c = s + 4 // no second colon: whole rest
+            sink.append(payload, c + 1, e)
+          } else if (starts(payload, s, e, "sdtrun:")) {
+            // sdtrun:<type>,<id>,<tag>:<text> — inline SDT run text inlined
+            // (:984-1026); annotated mode prefixes the control descriptor
+            // (`DocumentNode.cs:145-153`)
+            val c0 = payload.indexOf(':', s + 7)
+            val c = if (c0 < 0 || c0 >= e) -1 else c0
+            if (ctx.annotate) {
+              val descEnd = if (c >= 0) c else e
+              val desc = payload.substring(s + 7, descEnd)
+              val parts = desc.split(',')
+              val ty = if (parts.length > 0) parts(0) else ""
+              val id = if (parts.length > 1) parts(1) else ""
+              sink.append("[ContentControl:").append(ty).append(" id=").append(id).append(']')
+            }
+            if (c >= 0) sink.append(payload, c + 1, e)
+          } else if (is(payload, s, e, "bookmark") || is(payload, s, e, "prooferr")) {
+            // skipped (:620-624)
+          } else {
+            throw ExtractionError(s"unknown paragraph token '${payload.substring(s, e)}'")
           }
-          state = 0
         }
-      } else if (tok.startsWith("instr:")) {
-        if (state == 1) { if (instr.length > 0) instr.append(' '); instr.append(tok.substring(6)) }
-      } else if (state == 1) {
-        // runs inside the field code region are ignored (only instrText counts)
-      } else if (tok.startsWith("run:")) {
-        sink.append(tok.substring(4))
-      } else if (tok == "tab") {
-        sink.append('\t')
-      } else if (tok == "cr" || tok.startsWith("br:")) {
-        sink.append(' ')
-      } else if (tok.startsWith("link:")) {
-        // link:<relId>:<display text> — display text inlined; URL stays in
-        // the rel map (metadata-only in the reference, :837-852)
-        val rest = tok.substring(5)
-        val c = rest.indexOf(':')
-        sink.append(if (c >= 0) rest.substring(c + 1) else rest)
-      } else if (tok.startsWith("sdtrun:")) {
-        // sdtrun:<type>,<id>,<tag>:<text> — inline SDT run text inlined (:984-1026);
-        // annotated mode prefixes the control descriptor (`DocumentNode.cs:145-153`)
-        val rest = tok.substring(7)
-        val c = rest.indexOf(':')
-        val txt = if (c >= 0) rest.substring(c + 1) else ""
-        if (ctx.annotate) {
-          val parts = (if (c >= 0) rest.substring(0, c) else rest).split(',')
-          val ty = if (parts.length > 0) parts(0) else ""
-          val id = if (parts.length > 1) parts(1) else ""
-          sink.append(s"[ContentControl:$ty id=$id]")
-        }
-        sink.append(txt)
-      } else if (tok == "bookmark" || tok == "prooferr") {
-        // skipped (:620-624)
-      } else {
-        throw ExtractionError(s"unknown paragraph token '$tok'")
+        s = e + 1
       }
     }
     sb.toString.strip()
   }
+
+  /** Token-sequence form (corpus/test convenience); delegates to the
+    * index-scanning fold for single semantics. */
+  private[graft] def foldRuns(tokens: Seq[String], ctx: Ctx): String =
+    foldPayload(tokens.mkString("|"), 0, ctx)
 
   /** DOCPROPERTY field-code parse (`WordDocumentTreeParser.cs:644-675`):
     * whitespace-split; quoted property names re-joined; `\*` switch and its
