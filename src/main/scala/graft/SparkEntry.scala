@@ -67,6 +67,31 @@ object SparkEntry {
        |SELECT doc_id, "offset", concat_ws(' > ', $valid) AS heading_path FROM wl""".stripMargin
   }
 
+  private def depthSql: String = {
+    val lastCols = (1 to 9).map { l =>
+      s"""last_value(CASE WHEN kind = 'heading$l' THEN text END IGNORE NULLS) OVER w AS _t$l, """ +
+      s"""last_value(CASE WHEN kind = 'heading$l' THEN "offset" END IGNORE NULLS) OVER w AS _o$l"""
+    }.mkString(", ")
+    val valid = (1 to 9).map { l =>
+      val shallower = (1 until l).map(j => s"coalesce(_o$j, -1)")
+      val maxShallower = shallower match {
+        case Seq() => "-1"
+        case Seq(one) => one
+        case many => s"greatest(${many.mkString(", ")})"
+      }
+      s"CASE WHEN _o$l IS NOT NULL AND _o$l > $maxShallower THEN _t$l END"
+    }.mkString(", ")
+    s"""WITH ex AS (SELECT doc_id, u.kind AS kind, u.text AS text, u."offset" AS "offset"
+       |  FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})),
+       |wl AS (SELECT doc_id, kind, text, "offset", $lastCols FROM ex
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |hp AS (SELECT doc_id, "offset", kind, concat_ws(' > ', $valid) AS heading_path FROM wl)
+       |SELECT doc_id, "offset", CAST(
+       |  (CASE WHEN heading_path = '' THEN 0 ELSE len(string_split(heading_path, ' > ')) END)
+       |  + (CASE WHEN regexp_matches(kind, $headingRx) THEN 0 ELSE 1 END) AS INTEGER) AS depth
+       |FROM hp""".stripMargin
+  }
+
   private def sectionTextSql(needle: String): String =
     s"""WITH d AS (SELECT doc_id, spans FROM ${fixturesSql("docs")}),
        |m AS (SELECT doc_id, spans, list_filter(spans, s -> regexp_matches(s.kind, $headingRx)
@@ -147,6 +172,27 @@ object SparkEntry {
       import s.implicits._
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
+    "x5_extract_expr_spans" -> ((s, _) =>
+      SpanQueries.flattenSpans(
+        Extract.runExpr(Fixtures.raw(s)).where(col("error").isNull)
+          .select(col("doc_id"), col("spans")))),
+    "q_depth" -> ((s, _) => {
+      // P7 GetDepth: ancestors-count via the heading-path breadcrumb
+      val hp = SpanQueries.headingPaths(Fixtures.docs(s))
+      hp.select(col("doc_id"), col("offset"),
+        (when(col("heading_path") === "", lit(0))
+          .otherwise(size(split(col("heading_path"), " > "))) +
+         when(SpanQueries.headingLevel(col("kind")) > 0, lit(0)).otherwise(lit(1)))
+          .cast("int").as("depth"))
+    }),
+    "q_distinct_texts" -> ((s, _) =>
+      SpanQueries.flattenSpans(Fixtures.docs(s))
+        .groupBy(col("kind"))
+        .agg(countDistinct(col("text")).as("n_texts"))),
+    "q_grep" -> ((s, _) =>
+      SpanQueries.flattenSpans(Fixtures.docs(s))
+        .where(col("text").contains("shopping") || col("text").contains("Shopping"))),
+
     // ---- mutators (§2.8) ----
     "mut_set_cc" -> ((s, _) =>
       SpanQueries.flattenSpans(
@@ -288,6 +334,17 @@ object SparkEntry {
     "x4_annotated_spans" ->
       s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
          |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("annotated_docs")})""".stripMargin,
+    "x5_extract_expr_spans" ->
+      s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("expected_docs")})""".stripMargin,
+    "q_depth" -> depthSql,
+    "q_distinct_texts" ->
+      s"""SELECT u.kind AS kind, count(DISTINCT u.text) AS n_texts
+         |FROM (SELECT UNNEST(spans) AS u FROM ${fixturesSql("docs")}) GROUP BY 1""".stripMargin,
+    "q_grep" ->
+      s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})
+         |WHERE contains(u.text, 'shopping') OR contains(u.text, 'Shopping')""".stripMargin,
     "mut_set_cc" ->
       s"""SELECT doc_id, u.kind AS kind,
          |  CASE WHEN split_part(u.media_ref, ':', 2) = '1002' THEN 'REDACTED' ELSE u.text END AS text,
