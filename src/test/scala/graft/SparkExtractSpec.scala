@@ -95,6 +95,37 @@ class SparkExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("annotated fused expression == sequential annotated oracle") {
+    import spark.implicits._
+    val raw = corpus(150)
+    val expected = raw.flatMap(d =>
+      try Some(Extractor.extractAnnotated(d)) catch { case _: Exception => None })
+      .map(d => d.doc_id -> d).toMap
+    val out = Extract.runExpr(raw.toDS().toDF(), annotate = true).collect()
+    out.filter(!_.isNullAt(1)).foreach { r =>
+      val spans = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => graft.model.Span(x.getString(0), x.getString(1), x.getString(2), x.getInt(3)))
+      assert(expected(r.getString(0)).spans == spans, r.getString(0))
+    }
+  }
+
+  test("chunker invariance: any chunk size yields the unchunked output") {
+    val docs = Seq(SyntheticCorpus.rawDoc("doc-mega-000000997"),
+      SyntheticCorpus.rawDoc("doc-tables-000000005"),
+      SyntheticCorpus.rawDoc("doc-sdt-000000014"))
+    docs.foreach { d =>
+      val whole = Extractor.extract(d)
+      Seq(8, 64, 513, 4096).foreach { maxSpans =>
+        val chunks = Chunker.split(d, maxSpans)
+        val spans = chunks.flatMap { ch =>
+          val ctx = Extractor.buildCtx(ch.ctxSpans ++ ch.spans, ch.meta)
+          Extractor.walk(ch.spans.sortBy(_.offset), ctx)
+        }.zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+        assert(spans == whole.spans, s"${d.doc_id} maxSpans=$maxSpans")
+      }
+    }
+  }
+
   test("extraction is deterministic and idempotent across partitionings") {
     import spark.implicits._
     val raw = corpus(120)
