@@ -60,20 +60,33 @@ object Dedup {
                             numHashes: Int = 32, numBands: Int = 8,
                             ngram: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val features = documents
-      .select(col("doc_id"), TextAnalysis.wordShingles(col("text"), ngram).as("sh"))
-      .select(col("doc_id"), col("sh"), minHashSignatureOf(col("sh"), numHashes).as("sig"))
-    val banded = features.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
-        .as(Seq("band_idx", "band_hash")))
+    // fused text→signature expression: one eval per row (a CodegenFallback
+    // expression with HOF children drags those children into interpreted
+    // eval — measured as the dominant cost of the earlier formulation)
+    val sigs = documents
+      .select(col("doc_id"), MinHashTextExpr(col("text"), numHashes, ngram).as("sig"))
+    // band key = xxhash64 over the band's signature slots directly (slots
+    // resolved at plan time) — fully codegen
+    val bandHashes = (0 until numBands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(j =>
+        element_at(col("sig"), b * rowsPerBand + j + 1))): _*)
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
     val cand = banded.select(col("band_hash"), col("doc_id").as("a"))
       .join(banded.select(col("band_hash"), col("doc_id").as("b")), Seq("band_hash"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val fa = features.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
-    val fb = features.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
-    cand.join(fa, "a").join(fb, "b")
+    // exact-Jaccard verification ONLY on the (small) candidate set: texts
+    // join onto the pairs, shingles computed post-join (fallback-free plan,
+    // candidate rows only)
+    val ta = documents.select(col("doc_id").as("a"), col("text").as("text_a"))
+    val tb = documents.select(col("doc_id").as("b"), col("text").as("text_b"))
+    val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    cand.join(ta, "a").join(tb, "b").join(sa, "a").join(sb, "b")
+      .withColumn("sh_a", TextAnalysis.wordShingles(col("text_a"), ngram))
+      .withColumn("sh_b", TextAnalysis.wordShingles(col("text_b"), ngram))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / lit(numHashes.toDouble))
@@ -113,10 +126,10 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of token
-    * hashes, as a one-pass native expression (see [[SimHash64Expr]] — the
-    * 64-filter-HOF formulation scanned the token array 64 times per row). */
-  def simHash(text: Column): Column =
-    SimHash64Expr(split(TextAnalysis.normalized(text), " "))
+    * hashes, as a fused one-pass native expression (tokenize + hash + vote —
+    * see [[SimHashTextExpr]]; a fallback expression with HOF children would
+    * drag them into interpreted eval). */
+  def simHash(text: Column): Column = SimHashTextExpr(text)
 
   /** SimHash near-dups: band the 64-bit signature into four 16-bit chunks
     * (pigeonhole: hamming distance <= 3 → at least one identical chunk),
@@ -149,10 +162,12 @@ object Dedup {
     val feats = embeddings.select(col("vec_id"), col("embedding"),
       Similarity.l2Norm(col("embedding")).as("norm"),
       Similarity.rhpSignature(col("embedding"), bits).as("sig"))
+    val bandKeys = (0 until numBands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(j =>
+        element_at(col("sig"), b * rowsPerBand + j + 1))): _*)
+    }
     val banded = feats.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => to_json(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))
-        .as(Seq("band_idx", "band_key")))
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
     val cand = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
         Seq("band_idx", "band_key"))

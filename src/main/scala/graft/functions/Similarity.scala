@@ -66,13 +66,16 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 16, numBands: Int = 4): DataFrame = {
     val rowsPerBand = bits / numBands
-    def banded(df: DataFrame, idCol: String): DataFrame =
+    def banded(df: DataFrame, idCol: String): DataFrame = {
+      val bandKeys = (0 until numBands).map { b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(j =>
+          element_at(col("sig"), b * rowsPerBand + j + 1))): _*)
+      }
       df.select(col("vec_id").as(idCol), col("embedding"),
           rhpSignature(col("embedding"), bits).as("sig"))
         .select(col(idCol), col("embedding"),
-          posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-            b => to_json(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))
-            .as(Seq("band_idx", "band_key")))
+          posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    }
     val q = banded(queries, "query_id")
       .withColumnRenamed("embedding", "qv")
     val c = banded(corpus, "neighbor_id")

@@ -113,6 +113,115 @@ object MinHashSigExpr {
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
 }
 
+/** Shared tokenizer for the fused text sketches: lowercase + whitespace
+  * split — the Scala mirror of `TextAnalysis.normalized` + split(' '). */
+object SketchTokens {
+  def tokenize(text: String): Array[String] = {
+    val lower = text.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(lower.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(lower.charAt(i))) i += 1
+      if (i > start) out += lower.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** Hashes of word n-gram shingles (multiset is fine for MinHash — the min
+    * over duplicates is unchanged); short texts yield one whole-text shingle,
+    * mirroring `TextAnalysis.wordShingles`. */
+  def shingleHashes(tokens: Array[String], ngram: Int): Array[Long] = {
+    if (tokens.length <= ngram) {
+      Array(HashUtil.xxhash64(tokens.mkString(" ").getBytes("UTF-8"), 0L))
+    } else {
+      val m = tokens.length - ngram + 1
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < ngram) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+        out(i) = HashUtil.xxhash64(sb.toString.getBytes("UTF-8"), 0L)
+        i += 1
+      }
+      out
+    }
+  }
+}
+
+/** Fused text→MinHash signature: tokenize + shingle + hash + k-permutation
+  * mins in ONE eval — a `CodegenFallback` expression must not have HOF
+  * children (they would be forced into interpreted eval, measured ~20x
+  * slower than this fused form on the dedup benchmark). */
+case class MinHashTextExpr(child: Expression, numHashes: Int, ngram: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = SketchTokens.shingleHashes(
+      SketchTokens.tokenize(input.toString), ngram)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = HashUtil.mix(h, k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashTextExpr =
+    copy(child = newChild)
+}
+
+object MinHashTextExpr {
+  def apply(text: Column, numHashes: Int, ngram: Int): Column =
+    ColumnBridge.column(MinHashTextExpr(ColumnBridge.expression(text), numHashes, ngram))
+}
+
+/** Fused text→SimHash64 (same rationale as [[MinHashTextExpr]]). */
+case class SimHashTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = SketchTokens.tokenize(input.toString)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = HashUtil.xxhash64(tokens(i).getBytes("UTF-8"), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashTextExpr =
+    copy(child = newChild)
+}
+
+object SimHashTextExpr {
+  def apply(text: Column): Column =
+    ColumnBridge.column(SimHashTextExpr(ColumnBridge.expression(text)))
+}
+
 /** One-pass 64-bit SimHash: `simhash64(tokens) → long`. Per-bit majority
   * vote over token hashes in a single loop with 64 counters — replaces the
   * 64-filter-HOF formulation (64 array scans per row).
