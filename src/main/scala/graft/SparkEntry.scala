@@ -255,6 +255,13 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
     "t_lang" -> ((s, dir) => documents(s, dir)
       .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))),
+    "t_len_stats" -> ((s, dir) => documents(s, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tok"), max(col("n_tokens")).as("max_tok"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"))),
     "t_subwords" -> ((s, dir) => documents(s, dir)
       .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))),
 
@@ -265,6 +272,8 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.5)),
     "d_minhash" -> ((s, dir) => Dedup.minHashNearDuplicates(documents(s, dir), 0.5)),
     "d_simhash" -> ((s, dir) => Dedup.simHashNearDuplicates(documents(s, dir), 3)),
+    "d_drop_near" -> ((s, dir) => Dedup.dropNearDuplicates(documents(s, dir), 0.5)
+      .select(col("doc_id"))),
     "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
     "d_embed_neardup_lsh" -> ((s, dir) => Dedup.embeddingNearDuplicatesLsh(embeddings(s, dir), 0.9)),
 
@@ -452,6 +461,13 @@ object SparkEntry {
          |  WHEN de = greatest(en, de, fr, es) THEN 'de'
          |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
          |  ELSE 'es' END AS lang_guess FROM c""".stripMargin,
+    "t_len_stats" ->
+      """WITH t AS (SELECT lang, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(n_tokens) AS min_tok, max(n_tokens) AS max_tok,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_tokens, 0.9), 4) AS p90
+        |FROM t GROUP BY 1""".stripMargin,
     "d_exact_dups" ->
       s"""SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)

@@ -35,6 +35,17 @@ object Dedup {
     withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
   }
 
+  /** End-to-end near-dedup: drop every document that appears as the larger
+    * id of a near-duplicate pair (single-hop greedy keep-first — the
+    * standard web-pipeline approximation of connected-component dedup;
+    * min-id docs survive as cluster representatives). */
+  def dropNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
+                         ngram: Int = 3): DataFrame = {
+    val losers = minHashNearDuplicates(documents, threshold, ngram = ngram)
+      .select(col("b").as("doc_id")).distinct()
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature over a (materialized) shingle-array column — the
