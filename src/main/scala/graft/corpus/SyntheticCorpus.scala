@@ -99,11 +99,16 @@ object SyntheticCorpus {
 
   // ------------------------------------------------------------- families
 
-  /** levels 1-9, orphan jumps, style-vs-outline-vs-basedOn detection, clamp
+  /** levels 1-9, orphan jumps, all three classifier tiers incl. the tier-1
+    * fall-through and the style-id gate
     * (`WordDocumentTreeParser.cs:414-444,857-889`). */
   private def genHeadings(b: B, r: Random): Unit = {
+    // style table: own-outline style (tier 2a -> level 2), a style whose
+    // basedOn NAME is "Heading3" (tier 2b single hop -> level 3), and a plain
+    // style that satisfies the style-id gate so the direct outline attr
+    // (tier 3) can fire
     b.add(Kinds.StyleDef, renderAttrs(Seq("id" -> "SectionTitle", "outline" -> "1")))
-    b.add(Kinds.StyleDef, renderAttrs(Seq("id" -> "SubTitle", "basedOn" -> "SectionTitle")))
+    b.add(Kinds.StyleDef, renderAttrs(Seq("id" -> "Sub", "basedOn" -> "Heading3")))
     b.add(Kinds.StyleDef, renderAttrs(Seq("id" -> "Plain", "basedOn" -> "Normal")))
     val levels = {
       val base = Seq(1, 2, 3, 1, 3, 2, 9) // orphan jump H1->H3, backtrack
@@ -114,17 +119,22 @@ object SyntheticCorpus {
       val (attrs, tokens) = mode match {
         case 0 => (Seq("style" -> s"Heading$lvl"), Seq(b.run(s"H$lvl ${sentence(r, 3)}")))
         case 1 => (Seq("style" -> s"heading$lvl"), Seq(b.run(s"h$lvl ${sentence(r, 2)}"))) // case-insensitive
-        case 2 if lvl == 2 => (Seq("style" -> "SubTitle"), Seq(b.run(sentence(r, 3)))) // basedOn chain -> outline 1 -> level 2
-        case _ => (Seq("outline" -> (lvl - 1).toString), Seq(b.run(s"O$lvl ${sentence(r, 2)}")))
+        case 2 if lvl == 2 => (Seq("style" -> "SectionTitle"), Seq(b.run(sentence(r, 3)))) // style outline 1 -> level 2
+        case 2 if lvl == 3 => (Seq("style" -> "Sub"), Seq(b.run(sentence(r, 3)))) // basedOn NAME hop -> level 3
+        // tier 3: direct outline attr, gated on having SOME style id (:860-861)
+        case _ => (Seq("style" -> "Plain", "outline" -> (lvl - 1).toString), Seq(b.run(s"O$lvl ${sentence(r, 2)}")))
       }
-      // basedOn SubTitle resolves to outline 1 => heading2; keep level coherent
-      val effAttrs = if (attrs.head._2 == "SubTitle" && lvl != 2) Seq("outline" -> (lvl - 1).toString) else attrs
-      b.p(tokens, effAttrs)
+      b.p(tokens, attrs)
       (0 until r.nextInt(3)).foreach(_ => b.p(Seq(b.run(sentence(r, 4 + r.nextInt(6))))))
       b.maybeNoise()
     }
-    // clamp: outline 11 -> level 12 -> clamps to 9
-    b.p(Seq(b.run("deep heading")), Seq("outline" -> "11"))
+    // tier-1 fall-through: "Heading12" does NOT parse (only 1..9); the style
+    // lookup misses; the direct outline attr decides -> heading5
+    b.p(Seq(b.run("big level")), Seq("style" -> "Heading12", "outline" -> "4"))
+    // no style id at all -> never a heading, even with an outline attr
+    b.p(Seq(b.run("outline but unstyled")), Seq("outline" -> "2"))
+    // vocabulary cap: outline 11 would be level 12; span kinds cap at heading9
+    b.p(Seq(b.run("deep heading")), Seq("style" -> "Plain", "outline" -> "11"))
   }
 
   /** tabs, breaks, CR, empty paragraphs, trim (`:767-797,463-468`). */
@@ -157,6 +167,15 @@ object SyntheticCorpus {
     b.p(Seq(b.run("Page "), "fldBegin", "instr:PAGE \\* MERGEFORMAT", "fldSep", b.run("7"), "fldEnd"))
     b.p(Seq(b.run("no result "), "fldBegin", "instr:DOCPROPERTY company", "fldEnd"))
     b.p(Seq(b.run("lost "), "fldBegin", "instr:DOCPROPERTY Title", "fldSep", b.run("never emitted")))
+    // result runs collected in the CODE region (no fldSep): plain runs after
+    // the instr token buffer into the field result (`:598-605`)
+    b.p(Seq(b.run("Page "), "fldBegin", "instr:PAGE", b.run("7"), "fldEnd"))
+    // a plain run BEFORE the first instr token emits normally (code still null)
+    b.p(Seq("fldBegin", b.run("pre-code "), "instr:DOCPROPERTY reviewer", "fldSep", b.run("old name"), "fldEnd"))
+    // field code split across several instrText runs: direct concatenation (`:592-596`)
+    b.p(Seq(b.run("Split "), "fldBegin", "instr:DOCPROP", "instr:ERTY Title", "fldSep", b.run("x"), "fldEnd"))
+    // unresolvable DOCPROPERTY falls back to result runs buffered in the code region
+    b.p(Seq(b.run("Fallback "), "fldBegin", "instr:DOCPROPERTY missing", b.run("code-region result"), "fldEnd"))
     (0 until r.nextInt(4)).foreach(_ => b.p(Seq(b.run(sentence(r, 5)))))
     custom
   }
@@ -205,7 +224,9 @@ object SyntheticCorpus {
     b.p(Seq(b.run("2024-01-15")))
     b.p(Seq(b.run("(signed)")))
     b.add(Kinds.SdtEnd, "")
-    // nested sdt inside container
+    // nested sdt inside container: the nested block is DROPPED entirely
+    // (reference maps non-Paragraph/Table children to null, :955-962), and
+    // with one remaining paragraph + zero tables the outer collapses to it
     b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "group", "id" -> "1006")))
     b.p(Seq(b.run("outer")))
     b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "plaintext", "id" -> "1007")))
@@ -213,8 +234,21 @@ object SyntheticCorpus {
     b.p(Seq(b.run("inner second")))
     b.add(Kinds.SdtEnd, "")
     b.add(Kinds.SdtEnd, "")
-    // inline sdtrun inside a plain paragraph
+    // repeating-section types (`ContentControlType.cs:16-17`): container form
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "repeatingsectionitem", "id" -> "1008")))
+    b.p(Seq(b.run(s"row ${sentence(r, 2)}")))
+    b.p(Seq(b.run(s"row ${sentence(r, 2)}")))
+    b.add(Kinds.SdtEnd, "")
+    // building-block gallery (`ContentControlType.cs:18`): single-para collapse
+    b.add(Kinds.Sdt, renderAttrs(Seq("type" -> "buildingblockgallery", "tag" -> "bb1")))
+    b.p(Seq(b.run(s"gallery ${sentence(r, 2)}")))
+    b.add(Kinds.SdtEnd, "")
+    // inline sdtrun inside a plain paragraph (tag identifier)
     b.p(Seq(b.run("Before "), s"sdtrun:plaintext,2001,name:${Words(r.nextInt(Words.length))}", b.run(" after")))
+    // inline sdtrun with an alias (identifier precedence alias > tag > id)
+    b.p(Seq(b.run("Aka "), s"sdtrun:richtext,2002,t2,Friendly:${sentence(r, 2)}"))
+    // inline sdtrun with no identifiers at all -> "unnamed" in annotated mode
+    b.p(Seq(s"sdtrun:plaintext,,,:anon value", b.run(" tail")))
   }
 
   /** gridSpan, vMerge, header rows, ragged rows, nested tables, multi-para

@@ -15,7 +15,7 @@ package graft.model
   *   fldBegin / instr:<code> / fldSep / fldEnd   complex-field machine
   *                                              (WordDocumentTreeParser.cs:527-629)
   *   link:<relId>:<text>  hyperlink run       (:802-852)
-  *   sdtrun:<type>,<id>,<tag>:<text>  inline SDT run (:984-1026)
+  *   sdtrun:<type>,<id>,<tag>[,<alias>]:<text>  inline SDT run (:984-1026)
   *   bookmark / prooferr  skipped             (:620-624)
   * }}}
   */

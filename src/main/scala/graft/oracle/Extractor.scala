@@ -33,11 +33,46 @@ final case class ExtractionError(message: String) extends RuntimeException(messa
   */
 object Extractor {
 
-  private val HeadingStyle = "(?i)heading([0-9]+)".r
+  /** Explicitly-typed content controls the cascade recognizes — the grammar
+    * analog of the `SdtContent*` element checks in `DetermineContentControlType`
+    * (`WordDocumentTreeParser.cs:1178-1225`), lower-cased, plus the two
+    * descendant-detected repeating-section types and `buildingblockgallery`
+    * (`ContentControlType.cs:17-18`). */
   private val KnownSdtTypes = Set(
     "richtext", "plaintext", "picture", "date", "dropdown", "combobox",
     "group", "bibliography", "citation", "equation", "checkbox",
-    "docproperty", "repeatingsection")
+    "docproperty", "repeatingsection", "repeatingsectionitem",
+    "buildingblockgallery")
+
+  /** Core/extended property-name sets mirrored from
+    * `DocumentPropertyHelpers.cs:7-18` — everything else is Custom. */
+  private val CoreProps = Set(
+    "title", "subject", "creator", "author", "keywords", "description",
+    "comments", "lastmodifiedby", "revision", "created", "modified",
+    "category", "contentstatus", "status")
+  private val ExtendedProps = Set(
+    "template", "application", "appversion", "company", "manager", "pages",
+    "words", "characters", "characterswithspaces", "lines", "paragraphs",
+    "totaltime")
+
+  /** `DeterminePropertyType` (`DocumentPropertyHelpers.cs:24-31`). */
+  private[graft] def propertyTypeName(name: String): String = {
+    val n = name.toLowerCase
+    if (CoreProps.contains(n)) "Core"
+    else if (ExtendedProps.contains(n)) "Extended"
+    else "Custom"
+  }
+
+  /** `ExtractPropertyNameFromXPath` (`DocumentPropertyHelpers.cs:33-46`):
+    * last path segment, namespace prefix and `[n]` index stripped. */
+  private[graft] def xpathPropertyName(xpath: String): String = {
+    val parts = xpath.split('/')
+    if (parts.isEmpty) return xpath
+    var last = parts.last
+    val ci = last.indexOf(':'); if (ci >= 0) last = last.substring(ci + 1)
+    val bi = last.indexOf('['); if (bi >= 0) last = last.substring(0, bi)
+    last
+  }
 
   /** Per-document parsing context: the analog of `ParsingContext`'s style and
     * hyperlink-relationship caches (`Parsing/ParsingContext.cs:20-55`) —
@@ -173,29 +208,46 @@ object Extractor {
     }
   }
 
-  /** 3-tier heading classifier (`WordDocumentTreeParser.cs:857-889`):
-    * style-name prefix → style-table outline (following basedOn) → direct
-    * outline attr. Levels clamp to 1..9 (`:416`).
+  /** "Heading<k>" style-NAME parse used by tier 1 and the tier-2 basedOn hop
+    * (`WordDocumentTreeParser.cs:862-867,875-881`): case-insensitive prefix,
+    * then the rest must parse to k in 1..9. NO clamping — "Heading12" does
+    * not parse and the classifier falls through to the next tier.
+    */
+  private def headingNameLevel(name: String): Int = {
+    if (name == null || name.length <= 7 ||
+        !name.regionMatches(true, 0, "Heading", 0, 7)) return 0
+    safeInt(name.substring(7)) match {
+      case Some(v) if v >= 1 && v <= 9 => v
+      case _ => 0
+    }
+  }
+
+  /** 3-tier heading classifier — faithful to `GetHeadingLevel`
+    * (`WordDocumentTreeParser.cs:857-889`):
+    *  - no style id at all → never a heading, even with a direct outline
+    *    attr (`:860-861`);
+    *  - tier 1: "Heading<k>" style-name prefix, accepting ONLY k in 1..9
+    *    (out-of-range names fall through — no clamp, `:862-867`);
+    *  - tier 2: ONE style-table lookup — the style's own outline wins
+    *    (returns outline+1, no further fallback), else a single basedOn hop
+    *    parsed by the basedOn style NAME via tier-1's rule (`:869-882`) —
+    *    NOT an ancestor-outline chain;
+    *  - tier 3: the paragraph's direct outline attr → outline+1 (`:884-886`).
+    * Output levels cap at 9: the tree builder's maxLevel (`:416`) bounds the
+    * span-kind vocabulary (`heading1`..`heading9`); OOXML outline values are
+    * 0..8 in practice so the cap never fires on real input.
     */
   private[graft] def headingLevel(attrs: Map[String, String], ctx: Ctx): Int = {
     val styleId = attrs.getOrElse("style", "")
-    styleId match {
-      case HeadingStyle(lvl) =>
-        val v = try lvl.toInt catch { case _: NumberFormatException => 0 }
-        if (v >= 1) return math.min(v, 9)
-      case _ =>
-    }
-    // style-table fallback: outline level on the style or an ancestor via basedOn
-    var cur = styleId.toLowerCase
-    var hops = 0
-    while (cur.nonEmpty && hops < 10) {
-      ctx.styles.get(cur) match {
-        case Some((Some(outline), _)) =>
-          val lvl = outline + 1
-          if (lvl >= 1) return math.min(lvl, 9) else return 0
-        case Some((None, Some(basedOn))) => cur = basedOn.toLowerCase; hops += 1
-        case _ => cur = ""
-      }
+    if (styleId.isEmpty) return 0
+    val byName = headingNameLevel(styleId)
+    if (byName > 0) return byName
+    ctx.styles.get(styleId.toLowerCase) match {
+      case Some((Some(outline), _)) => return math.min(outline + 1, 9)
+      case Some((None, basedOn)) =>
+        val hop = basedOn.map(headingNameLevel).getOrElse(0)
+        if (hop > 0) return hop
+      case None =>
     }
     attrs.get("outline").flatMap(safeInt) match {
       case Some(o) if o >= 0 => math.min(o + 1, 9)
@@ -203,23 +255,42 @@ object Extractor {
     }
   }
 
-  /** The run fold + complex-field finite-state machine
-    * (`WordDocumentTreeParser.cs:527-629`). States: outside / in-field-code /
-    * in-field-result. DOCPROPERTY fields emit ONE run whose text is the
-    * resolved property value (resolution wins over the collected result,
-    * `:555-577`); other fields pass their buffered result runs through
-    * (`:579-582`). Unterminated fields discard their buffered content.
+  /** The run fold + complex-field finite-state machine — faithful to
+    * `ExtractFormattedRuns` (`WordDocumentTreeParser.cs:527-629`):
+    *  - `fldBegin` opens a field (resets code + result buffers, `:543-547`);
+    *  - `instr:` tokens append DIRECTLY (no separator) to the field code
+    *    whenever a field is open (`:592-596`) — a split code like
+    *    `instr:DOCPROP|instr:ERTY Title` concatenates;
+    *  - any plain run/tab/br/cr while a field is open with a non-null field
+    *    code buffers into the field RESULT — even before `fldSep`
+    *    (`:598-605`); plain runs before the first `instr:` emit normally;
+    *  - `fldSep` is only a transition marker (`:548-551`);
+    *  - `fldEnd`: a DOCPROPERTY field emits ONE value — the resolved property
+    *    if available, else the buffered result (`:555-577`); other fields
+    *    pass their buffered result through (`:579-582`); unterminated fields
+    *    discard their buffers;
+    *  - hyperlink and inline-SDT runs BYPASS field buffering entirely — the
+    *    reference appends them straight to the output list regardless of
+    *    field state (`:614-619`).
     * tab→"\t", br/cr→" " (`DocumentNode.cs:67-69`); final trim (`:463`).
+    *
+    * Annotated mode (`ctx.annotate`): DOCPROPERTY fields render as
+    * `[DocProperty:<Core|Extended|Custom>/<Name>="<value>"]` — resolved or
+    * buffered value, exactly `DocumentPropertyField.ToMetadataString`
+    * (`DocumentPropertyField.cs:31-32`); inline SDT runs render as
+    * `[ContentControl:<type> <alias|tag|id|unnamed>="<text>"]`
+    * (`DocumentNode.cs:125-153`).
     *
     * Implementation note: scans `payload` from `from` by index and appends
     * CHARACTER RANGES — no per-token substring allocation (hot path).
     */
   private[graft] def foldPayload(payload: String, from: Int, ctx: Ctx): String = {
     val sb = new java.lang.StringBuilder
-    var state = 0 // 0=outside 1=field code 2=field result
+    var inField = false
+    var hasCode = false // the analog of `currentFieldCode != null`
     val instr = new java.lang.StringBuilder
     val result = new java.lang.StringBuilder
-    @inline def sink: java.lang.StringBuilder = if (state == 2) result else sb
+    @inline def sink: java.lang.StringBuilder = if (inField && hasCode) result else sb
     @inline def is(tok: String, s: Int, e: Int, kw: String): Boolean =
       e - s == kw.length && tok.regionMatches(s, kw, 0, kw.length)
     @inline def starts(tok: String, s: Int, e: Int, kw: String): Boolean =
@@ -233,33 +304,27 @@ object Extractor {
         if (e < 0) e = len
         if (e > s) { // empty segments skipped
           if (is(payload, s, e, "fldBegin")) {
-            state = 1; instr.setLength(0); result.setLength(0)
+            inField = true; hasCode = false
+            instr.setLength(0); result.setLength(0)
           } else if (is(payload, s, e, "fldSep")) {
-            if (state == 1) state = 2
+            // transition marker only (`:548-551`)
           } else if (is(payload, s, e, "fldEnd")) {
-            if (state != 0) {
-              parseDocProperty(instr.toString) match {
-                case Some(name) =>
-                  ctx.meta.get(name.toLowerCase) match {
-                    case Some(value) =>
-                      // annotated rendering: DocumentPropertyField.ToMetadataString
-                      // (`DocumentPropertyField.cs:31-32`)
-                      if (ctx.annotate) sb.append("[DocProperty:").append(name)
-                        .append("=\"").append(value).append("\"]")
-                      else sb.append(value)
-                    case None => sb.append(result)
-                  }
-                case None => sb.append(result)
-              }
-              state = 0
+            if (inField) {
+              if (hasCode) {
+                parseDocProperty(instr.toString) match {
+                  case Some(name) =>
+                    val value = ctx.meta.getOrElse(name.toLowerCase, result.toString)
+                    if (ctx.annotate)
+                      sb.append("[DocProperty:").append(propertyTypeName(name))
+                        .append('/').append(name).append("=\"").append(value).append("\"]")
+                    else sb.append(value)
+                  case None => sb.append(result)
+                }
+              } else sb.append(result) // no code: result buffer is empty anyway
+              inField = false; hasCode = false
             }
           } else if (starts(payload, s, e, "instr:")) {
-            if (state == 1) {
-              if (instr.length > 0) instr.append(' ')
-              instr.append(payload, s + 6, e)
-            }
-          } else if (state == 1) {
-            // runs inside the field code region are ignored (only instrText counts)
+            if (inField) { instr.append(payload, s + 6, e); hasCode = true }
           } else if (starts(payload, s, e, "run:")) {
             sink.append(payload, s + 4, e)
           } else if (is(payload, s, e, "tab")) {
@@ -268,25 +333,36 @@ object Extractor {
             sink.append(' ')
           } else if (starts(payload, s, e, "link:")) {
             // link:<relId>:<display text> — display text inlined; URL stays in
-            // the rel map (metadata-only in the reference, :837-852)
+            // the rel map (metadata-only in the reference, :837-852).
+            // Hyperlinks bypass field buffering (`:614-616`).
             var c = payload.indexOf(':', s + 5)
             if (c < 0 || c >= e) c = s + 4 // no second colon: whole rest
-            sink.append(payload, c + 1, e)
+            sb.append(payload, c + 1, e)
           } else if (starts(payload, s, e, "sdtrun:")) {
-            // sdtrun:<type>,<id>,<tag>:<text> — inline SDT run text inlined
-            // (:984-1026); annotated mode prefixes the control descriptor
-            // (`DocumentNode.cs:145-153`)
+            // sdtrun:<type>,<id>,<tag>[,<alias>]:<text> — inline SDT run text
+            // inlined (:984-1026); bypasses field buffering (`:618-619`).
             val c0 = payload.indexOf(':', s + 7)
             val c = if (c0 < 0 || c0 >= e) -1 else c0
             if (ctx.annotate) {
+              // [ContentControl:<type> <identifier>="<text>"], identifier
+              // precedence alias > tag > id > "unnamed" (`DocumentNode.cs:
+              // 139-153`); the run text sits INSIDE the bracket.
               val descEnd = if (c >= 0) c else e
-              val desc = payload.substring(s + 7, descEnd)
-              val parts = desc.split(',')
+              val parts = payload.substring(s + 7, descEnd).split(",", -1)
               val ty = if (parts.length > 0) parts(0) else ""
               val id = if (parts.length > 1) parts(1) else ""
-              sink.append("[ContentControl:").append(ty).append(" id=").append(id).append(']')
+              val tag = if (parts.length > 2) parts(2) else ""
+              val alias = if (parts.length > 3) parts(3) else ""
+              val ident =
+                if (alias.nonEmpty) alias else if (tag.nonEmpty) tag
+                else if (id.nonEmpty) id else "unnamed"
+              sb.append("[ContentControl:").append(ty).append(' ')
+                .append(ident).append("=\"")
+              if (c >= 0) sb.append(payload, c + 1, e)
+              sb.append("\"]")
+            } else {
+              if (c >= 0) sb.append(payload, c + 1, e)
             }
-            if (c >= 0) sink.append(payload, c + 1, e)
           } else if (is(payload, s, e, "bookmark") || is(payload, s, e, "prooferr")) {
             // skipped (:620-624)
           } else {
@@ -428,34 +504,53 @@ object Extractor {
 
   // ------------------------------------------------------------------ sdt
 
-  /** Parse an SDT block. Returns (emitted spans, text contribution, next
-    * index). Single-paragraph SDTs collapse to their paragraph span
-    * (`WordDocumentTreeParser.cs:925-942`); containers emit a
-    * `content_control` span whose text is the space-join of non-blank child
-    * texts (`:969-975`), followed by the flattened child spans.
+  /** Parse an SDT block — faithful to `ProcessStructuredDocumentTag`
+    * (`WordDocumentTreeParser.cs:910-980`). Only direct paragraph and table
+    * children become child nodes; everything else — NESTED SDT BLOCKS and
+    * standalone drawings — maps to null and is dropped entirely (`:955-962`,
+    * the `_ => null` arm of the child dispatch). An SDT whose direct children
+    * are exactly one paragraph and zero tables collapses to that paragraph
+    * span (`:921-942`) — dropped siblings don't block the collapse, matching
+    * the reference's `paragraphs.Count == 1 && tables.Count == 0` test.
+    * Containers emit a `content_control` span whose text is the space-join of
+    * non-blank child texts (`:969-975`), followed by the flattened child
+    * spans; empty containers are preserved (`:977-979`).
+    *
+    * Annotated mode (`GetTextWithMetadata`, `DocumentNode.cs:74-95`): the
+    * container head — and the collapsed paragraph, which carries the CC
+    * properties — renders as `[ContentControl:<type> <alias|tag|id|unnamed>=
+    * "<plain value>"]`, or `[DocProperty:<xpath-name>="<plain value>"]` for a
+    * data-bound DocumentProperty control (`:87-94`). The bracket value is the
+    * PLAIN text (`GetText().Trim()`), while non-collapsed child spans keep
+    * their own annotated renderings (`GetAllTextWithMetadata` recursion,
+    * `DocumentPropertyExtensions.cs:66-79`).
     */
   private[graft] def parseSdt(body: Seq[RawSpan], start: Int, ctx: Ctx): (Seq[Span], String, Int) = {
     val attrs = Grammar.parseAttrs(body(start).text)
     var i = start + 1
     val n = body.length
-    val childSpanGroups = ArrayBuffer.empty[Seq[Span]]
-    val childTexts = ArrayBuffer.empty[String]
+    val plainCtx = if (ctx.annotate) ctx.copy(annotate = false) else ctx
+    // (isParagraph, emitted spans, plain text contribution)
+    val children = ArrayBuffer.empty[(Boolean, Seq[Span], String)]
+    var nTables = 0
     var closed = false
     while (i < n && !closed) {
       body(i).kind match {
         case Kinds.SdtEnd => closed = true; i += 1
         case Kinds.P =>
           val sp = paragraphSpan(body(i), ctx)
-          childSpanGroups += Seq(sp); childTexts += sp.text; i += 1
-        case Kinds.Drawing =>
-          val sp = imageSpan(body(i))
-          childSpanGroups += Seq(sp); childTexts += sp.text; i += 1
+          val plain = if (ctx.annotate) paragraphSpan(body(i), plainCtx).text else sp.text
+          children += ((true, Seq(sp), plain)); i += 1
         case Kinds.Tbl =>
           val (spans, label, next) = parseTable(body, i, ctx)
-          childSpanGroups += spans; childTexts += label; i = next
+          nTables += 1
+          children += ((false, spans, label)); i = next
         case Kinds.Sdt =>
-          val (spans, value, next) = parseSdt(body, i, ctx)
-          childSpanGroups += spans; childTexts += value; i = next
+          // nested SDT blocks are parsed (to consume their extent) and then
+          // DROPPED — the reference maps non-Paragraph/Table children to null
+          val (_, _, next) = parseSdt(body, i, ctx); i = next
+        case Kinds.Drawing =>
+          i += 1 // standalone drawing at SDT level: dropped (`_ => null`)
         case k if Kinds.Dropped.contains(k) => i += 1
         case k =>
           throw ExtractionError(s"unexpected '$k' inside sdt at offset ${body(i).offset}")
@@ -464,27 +559,44 @@ object Extractor {
     if (!closed) throw ExtractionError("unclosed sdt")
 
     // type cascade (`:1178-1225`): explicit recognized type, else
-    // checkbox-by-@checked (descendant-scan analog), else DocProperty-by-XPath,
-    // else unknown.
+    // checkbox-by-@checked (descendant-scan analog, :1203), else
+    // DocProperty when the data-binding xpath targets a property namespace
+    // (:1206-1216), else unknown.
     val sdtType = attrs.get("type").map(_.toLowerCase).filter(KnownSdtTypes.contains)
       .orElse(if (attrs.contains("checked")) Some("checkbox") else None)
-      .orElse(if (attrs.get("xpath").exists(_.nonEmpty)) Some("docproperty") else None)
+      .orElse(attrs.get("xpath") match {
+        case Some(x) if x.contains("coreProperties") || x.contains("extended-properties") ||
+          x.contains("custom-properties") => Some("docproperty")
+        case _ => None
+      })
       .getOrElse("unknown")
 
-    val isSingleParagraph = childSpanGroups.length == 1 &&
-      childSpanGroups.head.length == 1 && {
-        val k = childSpanGroups.head.head.kind
-        k == Kinds.Paragraph || k == Kinds.ListItem || k.startsWith("heading")
-      }
-    if (isSingleParagraph) {
-      val sp = childSpanGroups.head.head
-      (Seq(sp), sp.text, i)
+    // annotated-bracket identifier: alias > tag > id > "unnamed"
+    // (`DocumentNode.cs:81-83`)
+    val annIdent = Seq(attrs.get("alias"), attrs.get("tag"), attrs.get("id"))
+      .flatten.find(_.nonEmpty).getOrElse("unnamed")
+    def bracket(value: String): String = {
+      val xpath = attrs.getOrElse("xpath", "")
+      if (sdtType == "docproperty" && xpath.nonEmpty)
+        s"""[DocProperty:${xpathPropertyName(xpath)}="$value"]"""
+      else s"""[ContentControl:$sdtType $annIdent="$value"]"""
+    }
+
+    val nParas = children.count(_._1)
+    if (nParas == 1 && nTables == 0) {
+      val (_, spans, plain) = children.find(_._1).get
+      val sp0 = spans.head
+      val sp = if (ctx.annotate) sp0.copy(text = bracket(plain)) else sp0
+      (Seq(sp), plain, i)
     } else {
-      val value = childTexts.filter(_.strip().nonEmpty).mkString(" ")
+      val value = children.iterator.map(_._3).filter(_.strip().nonEmpty).mkString(" ")
+      // media_ref addressing channel keeps id > tag > alias (graft's stable
+      // mutator key; the reference keeps all three on ContentControlProperties)
       val ident = Seq(attrs.get("id"), attrs.get("tag"), attrs.get("alias"))
         .flatten.find(_.nonEmpty).getOrElse("")
-      val head = Span(Kinds.ContentControl, value, s"$sdtType:$ident", -1)
-      (head +: childSpanGroups.flatten.toSeq, value, i)
+      val headText = if (ctx.annotate) bracket(value) else value
+      val head = Span(Kinds.ContentControl, headText, s"$sdtType:$ident", -1)
+      (head +: children.flatMap(_._2).toSeq, value, i)
     }
   }
 }

@@ -77,36 +77,73 @@ class ExtractorSpec extends AnyFunSuite {
     assert(texts(d) == Seq("keep"))
   }
 
-  test("runs inside field-code region are ignored") {
+  test("plain run BEFORE the field code emits normally; after it, buffers (:596-605)") {
     val d = Extractor.extract(doc(
-      ("p", "fldBegin|run:noise|instr:PAGE|fldSep|run:9|fldEnd", null)))
-    assert(texts(d) == Seq("9"))
+      ("p", "fldBegin|run:pre|instr:PAGE|fldSep|run:9|fldEnd", null)))
+    assert(texts(d) == Seq("pre9"))
+  }
+
+  test("result runs in the code region (no fldSep) still buffer (:598-605)") {
+    // ADVICE r01 example: 'fldBegin|instr:PAGE|run:7|fldEnd' must yield '7'
+    val d = Extractor.extract(doc(
+      ("p", "fldBegin|instr:PAGE|run:7|fldEnd", null)))
+    assert(texts(d) == Seq("7"))
+  }
+
+  test("unresolvable DOCPROPERTY falls back to code-region result runs") {
+    val d = Extractor.extract(doc(
+      ("p", "fldBegin|instr:DOCPROPERTY missing|run:fallback|fldEnd", null)))
+    assert(texts(d) == Seq("fallback"))
+  }
+
+  test("field code split across instr tokens concatenates directly (:592-596)") {
+    val d = Extractor.extract(docMeta(Map("title" -> "T1"),
+      ("p", "fldBegin|instr:DOCPROP|instr:ERTY Title|fldSep|run:x|fldEnd", null)))
+    assert(texts(d) == Seq("T1"))
+  }
+
+  test("hyperlink and inline-SDT runs bypass field buffering (:614-619)") {
+    val d = Extractor.extract(doc(
+      ("rel", "@id=r1;@url=https://x", null),
+      ("p", "fldBegin|instr:PAGE|link:r1:LINKED|run:5|fldEnd", null)))
+    // the hyperlink text goes straight to the output; only '5' is the result
+    assert(texts(d) == Seq("LINKED5"))
   }
 
   // ---- heading classifier (P11, :857-889)
 
-  test("heading by style prefix, case-insensitive; clamp at 9") {
+  test("heading by style prefix, case-insensitive; out-of-range names fall through") {
     val d = Extractor.extract(doc(
       ("p", "@style=Heading3|run:A", null),
       ("p", "@style=heading2|run:B", null),
-      ("p", "@style=Heading12|run:C", null)))
-    assert(kinds(d) == Seq("heading3", "heading2", "heading9"))
+      // 'Heading12' does NOT parse (tier 1 accepts only 1..9); no style-table
+      // entry, no outline attr -> paragraph (:862-867)
+      ("p", "@style=Heading12|run:C", null),
+      // ...but with a direct outline attr, tier 3 decides
+      ("p", "@style=Heading12;@outline=4|run:D", null)))
+    assert(kinds(d) == Seq("heading3", "heading2", "paragraph", "heading5"))
   }
 
-  test("heading via style table outline + basedOn chain") {
+  test("heading via style table: own outline wins; basedOn is a single NAME hop") {
     val d = Extractor.extract(doc(
       ("style_def", "@id=Title1;@outline=0", null),
-      ("style_def", "@id=Sub;@basedOn=Title1", null),
+      // basedOn hop parses the basedOn style NAME 'Heading<k>' (:875-881);
+      // a basedOn chain to a style with an outline is NOT followed
+      ("style_def", "@id=Sub;@basedOn=Heading3", null),
+      ("style_def", "@id=Chained;@basedOn=Title1", null),
       ("p", "@style=Title1|run:A", null),
       ("p", "@style=Sub|run:B", null),
-      ("p", "@style=NoSuch|run:C", null)))
-    assert(kinds(d) == Seq("heading1", "heading1", "paragraph"))
+      ("p", "@style=Chained|run:C", null),
+      ("p", "@style=NoSuch|run:D", null)))
+    assert(kinds(d) == Seq("heading1", "heading3", "paragraph", "paragraph"))
   }
 
-  test("heading via direct outline attr; outline 11 clamps to 9") {
+  test("direct outline attr requires a style id (:860-861); outline 11 caps at 9") {
     val d = Extractor.extract(doc(
-      ("p", "@outline=1|run:A", null), ("p", "@outline=11|run:B", null)))
-    assert(kinds(d) == Seq("heading2", "heading9"))
+      ("p", "@outline=1|run:A", null), // no style id -> never a heading
+      ("p", "@style=Any;@outline=1|run:B", null),
+      ("p", "@style=Any;@outline=11|run:C", null)))
+    assert(kinds(d) == Seq("paragraph", "heading2", "heading9"))
   }
 
   test("list item classification with numId:ilvl media_ref; heading wins over list") {
@@ -205,19 +242,35 @@ class ExtractorSpec extends AnyFunSuite {
     assert(d.spans.head.media_ref == "richtext:2")
   }
 
-  test("type cascade: unknown+checked -> checkbox; xpath -> docproperty (:1203,1209)") {
+  test("type cascade: unknown+checked -> checkbox; property-namespace xpath -> docproperty (:1203-1216)") {
     val d = Extractor.extract(doc(
       ("sdt", "@type=mystery;@id=3;@checked=1", null),
       ("p", "run:x", null), ("p", "run:y", null),
       ("sdt_end", "", null),
-      ("sdt", "@id=4;@xpath=/ns:title[1]", null),
+      ("sdt", "@id=4;@xpath=/ns:coreProperties[1]/ns:title[1]", null),
       ("p", "run:u", null), ("p", "run:v", null),
+      ("sdt_end", "", null),
+      // an xpath outside the property namespaces is NOT a DocumentProperty
+      ("sdt", "@id=5;@xpath=/ns:other[1]", null),
+      ("p", "run:w", null), ("p", "run:z", null),
       ("sdt_end", "", null)))
     assert(d.spans.filter(_.kind == "content_control").map(_.media_ref) ==
-      Seq("checkbox:3", "docproperty:4"))
+      Seq("checkbox:3", "docproperty:4", "unknown:5"))
   }
 
-  test("nested SDT contributes its value to the outer container") {
+  test("explicit repeating-section / building-block types recognized (ContentControlType.cs:16-18)") {
+    val d = Extractor.extract(doc(
+      ("sdt", "@type=repeatingsectionitem;@id=8", null),
+      ("p", "run:r1", null), ("p", "run:r2", null),
+      ("sdt_end", "", null),
+      ("sdt", "@type=buildingblockgallery;@id=9", null),
+      ("p", "run:g1", null), ("p", "run:g2", null),
+      ("sdt_end", "", null)))
+    assert(d.spans.filter(_.kind == "content_control").map(_.media_ref) ==
+      Seq("repeatingsectionitem:8", "buildingblockgallery:9"))
+  }
+
+  test("nested SDT blocks are dropped; remaining single paragraph collapses (:921-962)") {
     val d = Extractor.extract(doc(
       ("sdt", "@type=group;@id=5", null),
       ("p", "run:outer", null),
@@ -225,9 +278,23 @@ class ExtractorSpec extends AnyFunSuite {
       ("p", "run:i1", null), ("p", "run:i2", null),
       ("sdt_end", "", null),
       ("sdt_end", "", null)))
+    // the nested SDT maps to null in the child dispatch; the outer block then
+    // has exactly one paragraph and zero tables -> collapses to it
+    assert(d.spans.map(s => (s.kind, s.text)) == Seq(("paragraph", "outer")))
+  }
+
+  test("nested SDT dropped from a true container's value and spans") {
+    val d = Extractor.extract(doc(
+      ("sdt", "@type=group;@id=5", null),
+      ("p", "run:a", null),
+      ("sdt", "@type=plaintext;@id=6", null),
+      ("p", "run:i1", null), ("p", "run:i2", null),
+      ("sdt_end", "", null),
+      ("p", "run:b", null),
+      ("sdt_end", "", null)))
     assert(d.spans.head.kind == "content_control")
-    assert(d.spans.head.text == "outer i1 i2")
-    assert(kinds(d) == Seq("content_control", "paragraph", "content_control", "paragraph", "paragraph"))
+    assert(d.spans.head.text == "a b")
+    assert(kinds(d) == Seq("content_control", "paragraph", "paragraph"))
   }
 
   // ---- boilerplate strip (P12/S3)
@@ -245,5 +312,59 @@ class ExtractorSpec extends AnyFunSuite {
   test("output kinds stay inside the ContentType vocabulary") {
     val d = Extractor.extract(graft.corpus.SyntheticCorpus.rawDoc("doc-sdt-000000004"))
     assert(d.spans.forall(s => Kinds.OutputKinds.contains(s.kind)))
+  }
+
+  // ---- annotated mode (A4, DocumentNode.cs:74-163, DocumentPropertyField.cs:31-32)
+
+  test("annotated DOCPROPERTY renders [DocProperty:Type/Name=\"value\"], resolved or buffered") {
+    val d = Extractor.extractAnnotated(docMeta(Map("title" -> "Real"),
+      ("p", "fldBegin|instr:DOCPROPERTY Title|fldSep|run:Old|fldEnd", null),
+      ("p", "fldBegin|instr:DOCPROPERTY dept|fldSep|run:Sales|fldEnd", null),
+      ("p", "fldBegin|instr:DOCPROPERTY company|fldSep|run:ACME|fldEnd", null)))
+    assert(texts(d) == Seq(
+      "[DocProperty:Core/Title=\"Real\"]",
+      "[DocProperty:Custom/dept=\"Sales\"]",          // unresolved -> buffered result
+      "[DocProperty:Extended/company=\"ACME\"]"))
+  }
+
+  test("annotated inline SDT run: text inside the bracket, identifier alias > tag > id > unnamed") {
+    val d = Extractor.extractAnnotated(doc(
+      ("p", "run:A |sdtrun:plaintext,9,tg:VAL|run: B", null),
+      ("p", "sdtrun:richtext,9,tg,Friendly:X", null),
+      ("p", "sdtrun:plaintext,7,,:Y", null),
+      ("p", "sdtrun:date,,,:Z", null)))
+    assert(texts(d) == Seq(
+      "A [ContentControl:plaintext tg=\"VAL\"] B",
+      "[ContentControl:richtext Friendly=\"X\"]",
+      "[ContentControl:plaintext 7=\"Y\"]",
+      "[ContentControl:date unnamed=\"Z\"]"))
+  }
+
+  test("annotated container and collapsed SDT render brackets with the PLAIN value") {
+    val d = Extractor.extractAnnotated(docMeta(Map("title" -> "Real"),
+      ("sdt", "@type=richtext;@id=2;@alias=Body", null),
+      ("p", "run:a", null), ("p", "run:b", null),
+      ("sdt_end", "", null),
+      // collapsed single-paragraph SDT carries the CC props -> bracket form,
+      // with the paragraph's PLAIN text (fields resolve to plain values)
+      ("sdt", "@type=plaintext;@id=3;@tag=t3", null),
+      ("p", "run:v=|fldBegin|instr:DOCPROPERTY Title|fldEnd", null),
+      ("sdt_end", "", null),
+      // data-bound DocumentProperty container -> [DocProperty:name="..."]
+      ("sdt", "@id=4;@xpath=/ns:coreProperties[1]/ns:title[1]", null),
+      ("p", "run:u", null), ("p", "run:v", null),
+      ("sdt_end", "", null)))
+    assert(texts(d) == Seq(
+      "[ContentControl:richtext Body=\"a b\"]", "a", "b",
+      "[ContentControl:plaintext t3=\"v=Real\"]",
+      "[DocProperty:title=\"u v\"]", "u", "v"))
+  }
+
+  test("propertyTypeName mirrors DocumentPropertyHelpers sets") {
+    assert(Extractor.propertyTypeName("Title") == "Core")
+    assert(Extractor.propertyTypeName("COMPANY") == "Extended")
+    assert(Extractor.propertyTypeName("projectcode") == "Custom")
+    assert(Extractor.xpathPropertyName("/ns:coreProperties[1]/ns:title[1]") == "title")
+    assert(Extractor.xpathPropertyName("plain") == "plain")
   }
 }

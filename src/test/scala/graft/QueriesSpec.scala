@@ -143,6 +143,6 @@ class QueriesSpec extends AnyFunSuite {
       graft.model.RawSpan("p", "run:A |sdtrun:plaintext,9,t:VAL", null, 1)),
       Map("title" -> "Doc Title")))
     val out = Extract.good(Extract.run(raw.toDS(), annotate = true)).collect().head
-    assert(out.spans.map(_.text) == Seq("T [DocProperty:Title=\"Doc Title\"]", "A [ContentControl:plaintext id=9]VAL"))
+    assert(out.spans.map(_.text) == Seq("T [DocProperty:Core/Title=\"Doc Title\"]", "A [ContentControl:plaintext t=\"VAL\"]"))
   }
 }
