@@ -69,6 +69,7 @@ object Fixtures {
   }
 
   def raw(spark: SparkSession): DataFrame = { ensure(spark); spark.read.parquet(RawPath) }
+  def annotated(spark: SparkSession): DataFrame = { ensure(spark); spark.read.parquet(AnnotatedPath) }
   def docs(spark: SparkSession): DataFrame = { ensure(spark); spark.read.parquet(DocsPath) }
   def expected(spark: SparkSession): DataFrame = { ensure(spark); spark.read.parquet(ExpectedPath) }
   def media(spark: SparkSession): DataFrame = { ensure(spark); spark.read.parquet(MediaPath) }

@@ -173,18 +173,29 @@ object SparkEntry {
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
     "x5_extract_expr_spans" -> ((s, _) =>
+      // Quarantined rows carry spans = null and are dropped AFTER the explode
+      // by filtering the GENERATED pos column. Both a `.where(col("error")
+      // .isNull)` and even a plain posexplode (whose InferFiltersFromGenerate
+      // injects size(spans) > 0 AND isnotnull(spans)) push predicates below
+      // the project and re-evaluate extract_spans 3-5x per row (PLANS.md; the
+      // r01 pitfall). posexplode_outer infers no filters, and a predicate on
+      // a generated column cannot sink below its Generate. Plan-audited:
+      // exactly one extract_spans per row.
+      Extract.runExpr(Fixtures.raw(s)).select(col("doc_id"), col("spans"))
+        .select(col("doc_id"), posexplode_outer(col("spans")).as(Seq("pos", "span")))
+        .where(col("pos").isNotNull)
+        .select(col("doc_id"), col("span.kind").as("kind"), col("span.text").as("text"),
+          col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))),
+    "x6_extract_auto" -> ((s, _) => {
+      import s.implicits._
+      Fixtures.ensure(s)
       SpanQueries.flattenSpans(
-        Extract.runExpr(Fixtures.raw(s)).where(col("error").isNull)
-          .select(col("doc_id"), col("spans")))),
-    "q_depth" -> ((s, _) => {
-      // P7 GetDepth: ancestors-count via the heading-path breadcrumb
-      val hp = SpanQueries.headingPaths(Fixtures.docs(s))
-      hp.select(col("doc_id"), col("offset"),
-        (when(col("heading_path") === "", lit(0))
-          .otherwise(size(split(col("heading_path"), " > "))) +
-         when(SpanQueries.headingLevel(col("kind")) > 0, lit(0)).otherwise(lit(1)))
-          .cast("int").as("depth"))
+        Extract.runAuto(s.read.parquet(Fixtures.RawPath), chunkThreshold = 1024))
     }),
+    "q_depth" -> ((s, _) =>
+      // P7 GetDepth: in-row via the fused span_nav expression (zero shuffle)
+      SpanQueries.spanNav(Fixtures.docs(s))
+        .select(col("doc_id"), col("offset"), col("depth"))),
     "q_distinct_texts" -> ((s, _) =>
       SpanQueries.flattenSpans(Fixtures.docs(s))
         .groupBy(col("kind"))
@@ -209,6 +220,16 @@ object SparkEntry {
     "mut_move_section" -> ((s, _) =>
       SpanQueries.flattenSpans(Mutators.moveSectionToEnd(Fixtures.docs(s), "shopping"))
         .where(col("doc_id").like("doc-lists-%"))),
+    "mut_remove_docprop" -> ((s, _) =>
+      // M4 RemoveDocumentPropertyField: strip run-level DocProperty markers
+      // from the annotated surface, keeping the value text
+      SpanQueries.flattenSpans(
+        Mutators.removeDocumentPropertyFields(Fixtures.annotated(s)))
+        .where(col("doc_id").like("doc-fields-%") || col("doc_id").like("doc-properties-%"))),
+    "p_find_by_style" -> ((s, _) =>
+      // P8/P9 FindByStyles / HasAnyStyle (case-insensitive set predicate)
+      graft.queries.Styles.findByStyles(Fixtures.raw(s),
+        Seq("Heading1", "sub", "SECTIONTITLE"))),
     "mut_props" -> ((s, _) => {
       val mutated = Mutators.removeProperty(
         Mutators.setProperty(Fixtures.raw(s), "reviewer", "temp"), "reviewer")
@@ -346,6 +367,9 @@ object SparkEntry {
     "x5_extract_expr_spans" ->
       s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
          |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("expected_docs")})""".stripMargin,
+    "x6_extract_auto" ->
+      s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("expected_docs")})""".stripMargin,
     "q_depth" -> depthSql,
     "q_distinct_texts" ->
       s"""SELECT u.kind AS kind, count(DISTINCT u.text) AS n_texts
@@ -376,6 +400,42 @@ object SparkEntry {
     "mut_props" ->
       s"""SELECT doc_id, CAST(len(list_filter(map_keys(meta), k -> k <> 'reviewer')) AS BIGINT) AS n_keys
          |FROM ${fixturesSql("raw_docs")}""".stripMargin,
+    "mut_remove_docprop" ->
+      s"""SELECT doc_id, u.kind AS kind,
+         |  regexp_replace(u.text, '\\[DocProperty:(Core|Extended|Custom)/.+?="([^"]*)"\\]', '\\2', 'g') AS text,
+         |  u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("annotated_docs")})
+         |WHERE doc_id LIKE 'doc-fields-%' OR doc_id LIKE 'doc-properties-%'""".stripMargin,
+    "p_find_by_style" ->
+      s"""SELECT doc_id, u."offset" AS "offset", regexp_extract(u.text, '@style=([^;|]+)', 1) AS style
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("raw_docs")})
+         |WHERE u.kind = 'p'
+         |  AND lower(regexp_extract(u.text, '@style=([^;|]+)', 1)) IN ('heading1', 'sub', 'sectiontitle')""".stripMargin,
+    "mut_move_section" ->
+      s"""WITH d AS (SELECT doc_id, spans FROM ${fixturesSql("docs")} WHERE doc_id LIKE 'doc-lists-%'),
+         |m AS (SELECT doc_id, spans, list_filter(spans, s -> regexp_matches(s.kind, $headingRx)
+         |        AND contains(lower(s.text), 'shopping')) AS ms FROM d),
+         |b AS (SELECT doc_id, spans,
+         |        CASE WHEN len(ms) > 0 THEN ms[1]."offset" END AS start_off,
+         |        CASE WHEN len(ms) > 0 THEN TRY_CAST(substr(ms[1].kind, 8, 1) AS INTEGER) END AS start_lvl
+         |      FROM m),
+         |e AS (SELECT doc_id, spans, start_off,
+         |        coalesce(list_min(list_transform(list_filter(spans, s ->
+         |          regexp_matches(s.kind, $headingRx) AND TRY_CAST(substr(s.kind, 8, 1) AS INTEGER) <= start_lvl
+         |          AND s."offset" > start_off), s -> s."offset")), 2147483647) AS end_off FROM b),
+         |r AS (SELECT doc_id, CASE WHEN start_off IS NULL THEN spans ELSE
+         |        list_concat(
+         |          list_filter(spans, s -> s."offset" < start_off OR s."offset" >= end_off),
+         |          list_filter(spans, s -> s."offset" >= start_off AND s."offset" < end_off)) END AS fs
+         |      FROM e)
+         |SELECT doc_id, x.kind AS kind, x.text AS text, x.media_ref AS media_ref, CAST(i AS INTEGER) AS "offset"
+         |FROM (SELECT doc_id, UNNEST(fs) AS x, UNNEST(range(len(fs))) AS i FROM r)""".stripMargin,
+    "t_subwords" ->
+      """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+        |  len(regexp_extract_all(trim(text), '[A-Za-z0-9]+'))
+        |  + length(trim(text))
+        |  - length(regexp_replace(trim(text), '[^A-Za-z0-9]', '', 'g'))
+        |END AS BIGINT) AS n_subwords FROM documents""".stripMargin,
     "a2_style_dist" ->
       s"""SELECT style, count(*) AS n FROM (
          |  SELECT regexp_extract(u.text, '@style=([^;|]+)', 1) AS style

@@ -87,6 +87,32 @@ object Extract {
       .select(col("doc_id"), col("x.spans").as("spans"), col("x.error").as("error"))
   }
 
+  /** Adaptive skew routing (SURVEY.md §4.3.1, VERDICT r01 #3): only the heavy
+    * tail (`size(spans) > chunkThreshold`) pays the chunked path's two
+    * shuffles; everything else rides the zero-shuffle fused expression. The
+    * two routes are filtered subtrees of the same scan, unioned — at fixture
+    * scale the double scan is noise next to the parse CPU; at 100 TB the raw
+    * table should carry a materialized `n_spans` column so both filters push
+    * down to parquet row-group statistics and each subtree reads only its
+    * rows (the `size(spans)` fallback used here still evaluates correctly,
+    * it just cannot prune row groups).
+    *
+    * Output matches [[runExpr]]/[[runChunked]]: (doc_id, spans, error) with
+    * quarantined rows carrying spans = null/empty and the error message.
+    */
+  def runAuto(raw: org.apache.spark.sql.DataFrame,
+              chunkThreshold: Int = 8192): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, size}
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val small = runExpr(raw.where(size(col("spans")) <= chunkThreshold))
+    val big = runChunked(
+      raw.where(size(col("spans")) > chunkThreshold).as[RawDoc],
+      maxSpansPerChunk = chunkThreshold)
+      .toDF()
+    small.unionByName(big)
+  }
+
   /** Skew-handling path for mega-documents (SURVEY.md §4.3.1): split
     * oversized docs into chunks at top-level element boundaries, hash-
     * repartition `(doc_id, chunk_id)` so one 10^6-span document no longer

@@ -67,6 +67,26 @@ object Mutators {
   def removeProperty(raw: DataFrame, name: String): DataFrame =
     raw.withColumn("meta", map_filter(col("meta"), (k, _) => k =!= name.toLowerCase))
 
+  /** `RemoveDocumentPropertyField(s)` (`DocumentPropertyExtensions.cs:
+    * 87-134`) over ANNOTATED spans: the reference nulls the run's
+    * `DocumentPropertyField`, keeping the run text (= the resolved value) —
+    * here the `[DocProperty:Type/Name="value"]` rendering collapses to its
+    * value. `propertyName = None` removes all fields; `Some(name)` matches
+    * case-insensitively (`:98-99`). Block-level data-bound controls (the
+    * `[DocProperty:name="..."]` form without the Type/ segment) are NOT
+    * touched — the reference mutator only clears run-level fields. */
+  def removeDocumentPropertyFields(annotated: DataFrame,
+                                   propertyName: Option[String] = None): DataFrame = {
+    val namePart = propertyName match {
+      case Some(n) => "(?i)" + java.util.regex.Pattern.quote(n)
+      case None => ".+?"
+    }
+    val pattern = "\\[DocProperty:(?:Core|Extended|Custom)/" + namePart + "=\"([^\"]*)\"\\]"
+    annotated.select(col("doc_id"), transform(col("spans"), s =>
+      span(s.getField("kind"), regexp_replace(s.getField("text"), lit(pattern), lit("$1")),
+        s.getField("media_ref"), s.getField("offset"))).as("spans"))
+  }
+
   /** `ExtractSection` + `InsertNodesAfter` (J5, demo-only in the reference,
     * `DocumentConcatenationDemo.cs:218-240`): splice the section titled by
     * `needle` to the END of the document (extract + append), offsets

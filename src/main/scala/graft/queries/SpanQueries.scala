@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's LINQ-style tree-query algebra (SURVEY.md §2.2-2.5),
@@ -113,50 +112,36 @@ object SpanQueries {
 
   // ------------------------------------------------------------------- P5
 
-  /** `GetHeadingPath` (`TreeNavigationExtensions.cs:55-83`): breadcrumb of
-    * governing heading texts per span, computed with running `last(...)`
-    * windows per level 1..9 (levels are bounded, `WordDocumentTreeParser.cs:
-    * 416`, so no join and no recursion). A level-l heading is on the path
-    * only if it appeared after every shallower governing heading.
-    * Includes the span itself when it is a heading.
+  /** Flattened per-span navigation surface — explode of
+    * [[graft.functions.SpanNavExpr]]. The explode is a narrow op over the
+    * scan: NO Exchange anywhere in the plan (vs the replaced explode+window
+    * formulation, which shuffled the whole corpus by doc_id — VERDICT r01 #1).
     */
-  def headingPaths(docs: DataFrame): DataFrame = {
-    val ex = flattenSpans(docs)
-    val w = Window.partitionBy("doc_id").orderBy("offset")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLast = (1 to 9).foldLeft(ex) { (df, l) =>
-      df.withColumn(s"_t$l", last(when(col("kind") === s"heading$l", col("text")), ignoreNulls = true).over(w))
-        .withColumn(s"_o$l", last(when(col("kind") === s"heading$l", col("offset")), ignoreNulls = true).over(w))
-    }
-    val valid = (1 to 9).map { l =>
-      val shallower = (1 until l).map(j => coalesce(col(s"_o$j"), lit(-1)))
-      val maxShallower = shallower match {
-        case Seq() => lit(-1)
-        case Seq(one) => one
-        case many => greatest(many: _*)
-      }
-      when(col(s"_o$l").isNotNull && col(s"_o$l") > maxShallower, col(s"_t$l"))
-    }
-    withLast.select(col("doc_id"), col("kind"), col("text"), col("offset"),
-      concat_ws(" > ", valid: _*).as("heading_path"))
-  }
+  def spanNav(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.SpanNavExpr(col("spans"))).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.offset").as("offset"), col("s.heading_path").as("heading_path"),
+        col("s.depth").as("depth"), col("s.section_off").as("section_off"),
+        col("s.prev_text").as("prev_text"), col("s.next_text").as("next_text"))
+
+  /** `GetHeadingPath` (`TreeNavigationExtensions.cs:55-83`): breadcrumb of
+    * governing heading texts per span — the in-row 9-slot heading stack
+    * (`WordDocumentTreeParser.cs:414-444`), zero shuffle. Includes the span
+    * itself when it is a heading.
+    */
+  def headingPaths(docs: DataFrame): DataFrame =
+    spanNav(docs).select(col("doc_id"), col("kind"), col("text"), col("offset"),
+      col("heading_path"))
 
   // ------------------------------------------------------------------- P6
 
   /** `GetNextSibling`/`GetPreviousSibling` (`TreeNavigationExtensions.cs:
-    * 88-115`): lead/lag over document order within the governing section
-    * (the flat-model sibling scope). */
-  def siblings(docs: DataFrame): DataFrame = {
-    val ex = flattenSpans(docs)
-    val w = Window.partitionBy("doc_id").orderBy("offset")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sec = ex.withColumn("section_off",
-      coalesce(last(when(headingLevel(col("kind")) > 0, col("offset")), ignoreNulls = true).over(w), lit(-1)))
-    val ws = Window.partitionBy("doc_id", "section_off").orderBy("offset")
-    sec.select(col("doc_id"), col("offset"), col("kind"), col("section_off"),
-      lag(col("text"), 1).over(ws).as("prev_text"),
-      lead(col("text"), 1).over(ws).as("next_text"))
-  }
+    * 88-115`): adjacent spans in document order within the governing section
+    * (the flat-model sibling scope) — in-row, zero shuffle. */
+  def siblings(docs: DataFrame): DataFrame =
+    spanNav(docs).select(col("doc_id"), col("offset"), col("kind"),
+      col("section_off"), col("prev_text"), col("next_text"))
 
   // ------------------------------------------------------------------- J4
 

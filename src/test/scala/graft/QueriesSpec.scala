@@ -70,6 +70,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("span_nav depth equals HeadingStack placement depth") {
+    val got = SpanQueries.spanNav(docsDf).collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> r.getInt(5)).toMap
+    docsSeq.foreach { d =>
+      HeadingStack.place(d.spans).foreach { p =>
+        assert(got((d.doc_id, p.span.offset)) == p.depth, s"${d.doc_id}@${p.span.offset}")
+      }
+    }
+  }
+
+  test("span_nav siblings/section match the independent windowed formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ex = SpanQueries.flattenSpans(docsDf)
+    val w = Window.partitionBy("doc_id").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sec = ex.withColumn("section_off",
+      coalesce(last(when(SpanQueries.headingLevel(col("kind")) > 0, col("offset")),
+        ignoreNulls = true).over(w), lit(-1)))
+    val ws = Window.partitionBy("doc_id", "section_off").orderBy("offset")
+    val windowed = sec.select(col("doc_id"), col("offset"), col("section_off"),
+      lag(col("text"), 1).over(ws).as("prev_text"),
+      lead(col("text"), 1).over(ws).as("next_text"))
+    val got = SpanQueries.siblings(docsDf)
+      .select("doc_id", "offset", "section_off", "prev_text", "next_text")
+    assert(got.count() == windowed.count())
+    assert(got.except(windowed).isEmpty && windowed.except(got).isEmpty)
+  }
+
+  test("span_nav queries plan with NO Exchange (zero shuffle)") {
+    Seq(SpanQueries.headingPaths(docsDf), SpanQueries.siblings(docsDf),
+        SpanQueries.spanNav(docsDf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
   test("concatDocs doubles spans with shifted offsets") {
     val out = SpanQueries.concatDocs(docsDf, docsDf).collect()
     val byId = docsSeq.map(d => d.doc_id -> d).toMap
@@ -114,6 +150,34 @@ class QueriesSpec extends AnyFunSuite {
         assert(spans.exists(_.getString(1).toLowerCase.contains("shopping")))
       }
     }
+  }
+
+  test("removeDocumentPropertyFields strips run-level markers, keeps values; name filter case-insensitive") {
+    import spark.implicits._
+    val annotated = Seq(Doc("a", Seq(
+      Span("paragraph", "x [DocProperty:Core/Title=\"T\"] y", null, 0),
+      Span("paragraph", "[DocProperty:Custom/dept=\"D\"]", null, 1),
+      // block-level data-bound form (no Type/ segment) must be untouched
+      Span("content_control", "[DocProperty:title=\"bound\"]", "docproperty:4", 2)))).toDS().toDF()
+    val all = Mutators.removeDocumentPropertyFields(annotated).collect().head
+      .getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
+    assert(all == Seq("x T y", "D", "[DocProperty:title=\"bound\"]"))
+    val one = Mutators.removeDocumentPropertyFields(annotated, Some("TITLE")).collect().head
+      .getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
+    assert(one == Seq("x T y", "[DocProperty:Custom/dept=\"D\"]", "[DocProperty:title=\"bound\"]"))
+  }
+
+  test("Styles.findByStyles matches case-insensitively over raw paragraphs") {
+    import spark.implicits._
+    import graft.model.{RawDoc, RawSpan}
+    val raw = Seq(RawDoc("a", Seq(
+      RawSpan("p", "@style=Heading1|run:x", null, 0),
+      RawSpan("p", "@style=plain|run:y", null, 1),
+      RawSpan("p", "run:z", null, 2),
+      RawSpan("rel", "@id=r;@url=u", null, 3)), Map.empty)).toDS().toDF()
+    val got = graft.queries.Styles.findByStyles(raw, Seq("HEADING1", "missing")).collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq(("a", 0, "Heading1")))
   }
 
   test("SpanTree renders the recovered hierarchy with H-labels and indent") {

@@ -126,6 +126,30 @@ class SparkExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("runAuto routes the heavy tail through chunking and matches the oracle") {
+    import spark.implicits._
+    val raw = corpus(200) ++ Seq(SyntheticCorpus.rawDoc("doc-mega-000000997"),
+      SyntheticCorpus.rawDoc("doc-poison-000001009"))
+    val expected = oracleOf(raw)
+    val out = Extract.runAuto(raw.toDS().toDF(), chunkThreshold = 512).collect()
+    assert(out.length == raw.length)
+    val good = out.filter(r => !r.isNullAt(1) && r.getSeq[org.apache.spark.sql.Row](1).nonEmpty)
+    assert(good.length == expected.size)
+    good.foreach { r =>
+      val spans = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => graft.model.Span(x.getString(0), x.getString(1), x.getString(2), x.getInt(3)))
+      assert(expected(r.getString(0)).spans == spans, r.getString(0))
+    }
+  }
+
+  test("x5 registration evaluates extract_spans exactly once (no filter re-eval)") {
+    Fixtures.ensure(spark)
+    val plan = SparkEntry.queries("x5_extract_expr_spans")(spark, "")
+      .queryExecution.executedPlan.toString
+    val evals = "extract_spans\\(".r.findAllIn(plan).length
+    assert(evals == 1, s"extract_spans appears $evals times:\n${plan.take(2000)}")
+  }
+
   test("extraction is deterministic and idempotent across partitionings") {
     import spark.implicits._
     val raw = corpus(120)
