@@ -542,12 +542,15 @@ object SparkEntry {
          |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
          |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
          |inv AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
-         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
-         |z AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
-         |SELECT a, b, round(CAST(common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6) AS jaccard
-         |FROM p JOIN z za ON za.doc_id = p.a JOIN z zb ON zb.doc_id = p.b
-         |WHERE round(CAST(common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6) >= 0.5""".stripMargin,
+         |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+         |inv2 AS (SELECT inv.doc_id AS doc_id, inv.g AS g FROM inv JOIN keep USING (g)),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM inv2 x JOIN inv2 y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |j AS (SELECT a, b, round(
+         |    CAST(len(list_intersect(za.sh, zb.sh)) AS DOUBLE) /
+         |    CAST(len(za.sh) + len(zb.sh) - len(list_intersect(za.sh, zb.sh)) AS DOUBLE), 6) AS jaccard
+         |  FROM p JOIN sh za ON za.doc_id = p.a JOIN sh zb ON zb.doc_id = p.b)
+         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
     "d_embed_neardup" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b, round($cosSql, 6) AS cosine
          |FROM embeddings a CROSS JOIN embeddings b

@@ -114,22 +114,38 @@ object Dedup {
 
   /** Word n-gram Jaccard near-dups: exact pairwise within minhash candidate
     * recall is the production path; this direct variant (shared-shingle
-    * inverted-index join) is exact and still avoids the cross product.
+    * inverted-index join) is exact up to the document-frequency cap and still
+    * avoids the cross product.
+    *
+    * `maxDocFreq` (VERDICT r01 #8): a shingle occurring in more than
+    * `maxDocFreq` documents is excluded from the inverted index BEFORE the
+    * self-join — without it, one high-frequency shingle creates an O(df²)
+    * bucket (a full-corpus quadratic blowup on a skewed key at web scale).
+    * Standard in web-dedup pipelines: ultra-common shingles carry no
+    * near-duplicate signal. The pairs that remain are scored by their
+    * surviving shared shingles, so true near-dups (which share many RARE
+    * shingles) keep their candidacy; the Jaccard itself stays exact over the
+    * full shingle sets. The cap must be mirrored in any comparison oracle.
     */
-  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Int = 1000): DataFrame = {
     val sh = documents.select(col("doc_id"), TextAnalysis.wordShingles(col("text"), n).as("sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    // inverted index join: pairs sharing >=1 shingle
-    val pairs = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
+    // document-frequency cap: shingles are distinct per doc, so count = df.
+    // AQE broadcasts the (small) surviving-shingle set when it fits.
+    val keep = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select(col("g"))
+    val capped = inv.join(keep, Seq("g"), "left_semi")
+    // inverted index join: pairs sharing >=1 surviving shingle
+    val pairs = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_rare"))
+    val sizes = sh.select(col("doc_id"), col("sh"))
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")).cast("double"), 6))
+      .join(sizes.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -168,22 +184,21 @@ object Dedup {
     * near-identical sign patterns, so recall at near-dup thresholds is high
     * (verified against [[embeddingNearDuplicates]] in tests). */
   def embeddingNearDuplicatesLsh(embeddings: DataFrame, threshold: Double = 0.95,
-                                 bits: Int = 16, numBands: Int = 8): DataFrame = {
-    val rowsPerBand = bits / numBands
-    val feats = embeddings.select(col("vec_id"), col("embedding"),
-      Similarity.l2Norm(col("embedding")).as("norm"),
-      Similarity.rhpSignature(col("embedding"), bits).as("sig"))
-    val bandKeys = (0 until numBands).map { b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(j =>
-        element_at(col("sig"), b * rowsPerBand + j + 1))): _*)
-    }
-    val banded = feats.select(col("vec_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+                                 bits: Int = 32, numBands: Int = 8): DataFrame = {
+    // per-row one-pass packed signature ([[RhpSigExpr]]) banded into
+    // bits/numBands-bit chunks; the band join ships (band, id) only
+    val banded = embeddings
+      .select(col("vec_id"), graft.functions.RhpSigExpr(col("embedding"), bits).as("sig"))
+      .select(col("vec_id"),
+        posexplode(Similarity.rhpBandKeys(col("sig"), bits, numBands)).as(Seq("band_idx", "band_key")))
     val cand = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
         Seq("band_idx", "band_key"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    // norms computed ONCE per row here, never per candidate pair
+    val feats = embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.L2NormExpr(col("embedding")).as("norm"))
     val fa = feats.select(col("vec_id").as("a"), col("embedding").as("va"), col("norm").as("na"))
     val fb = feats.select(col("vec_id").as("b"), col("embedding").as("vb"), col("norm").as("nb"))
     cand.join(fa, "a").join(fb, "b")

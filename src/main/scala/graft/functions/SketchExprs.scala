@@ -261,3 +261,80 @@ object SimHash64Expr {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
 }
+
+/** Fused random-hyperplane signature: `rhp_sig(embedding, bits) → long`
+  * (bits <= 64, one sign bit per hyperplane, packed LSB-first).
+  *
+  * One splitmix64 mix per DIMENSION yields 64 pseudo-random ±1 weight bits at
+  * once — bit p of `mix(seed, dim)` is the weight of hyperplane p — so the
+  * whole signature costs dims mixes + dims×bits adds in a single pass.
+  * Replaces the HOF formulation (bits × zip_with/aggregate scans with a
+  * per-element `xxhash64` call each: bits×dims hash evals, interpreted) that
+  * VERDICT r01 #9 flagged.
+  */
+case class RhpSigExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 64, "rhp_sig supports 1..64 hyperplanes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rhp_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val proj = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getFloat(i).toDouble
+        val w = HashUtil.mix(-3750763034362895579L, i) // seed: golden-gamma
+        var p = 0
+        while (p < bits) {
+          if (((w >>> p) & 1L) == 1L) proj(p) += x else proj(p) -= x
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) { if (proj(p) >= 0) sig |= (1L << p); p += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSigExpr =
+    copy(child = newChild)
+}
+
+object RhpSigExpr {
+  def apply(embedding: Column, bits: Int): Column =
+    ColumnBridge.column(RhpSigExpr(ColumnBridge.expression(embedding), bits))
+}
+
+/** Fused L2 norm of a float-array embedding: `l2_norm(embedding) → double` —
+  * one pass, no HOF materialization. Computed ONCE per row before any band
+  * join (norms per candidate PAIR was the other half of VERDICT r01 #9). */
+case class L2NormExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { val x = arr.getFloat(i).toDouble; acc += x * x }
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormExpr =
+    copy(child = newChild)
+}
+
+object L2NormExpr {
+  def apply(embedding: Column): Column =
+    ColumnBridge.column(L2NormExpr(ColumnBridge.expression(embedding)))
+}

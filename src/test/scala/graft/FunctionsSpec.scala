@@ -60,6 +60,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(got.head.getDouble(2) - exp) < 1e-6)
   }
 
+  test("ngram jaccard df-cap bounds a hot shingle's bucket without losing true dups") {
+    // 40 docs share one hot trigram but are pairwise unrelated; one true
+    // near-dup pair shares many RARE shingles
+    val hot = "alpha beta gamma"
+    val unrelated = (0L until 40L).map(i => i -> s"$hot unique$i filler$i token$i words$i")
+    val dupA = 100L -> (base + " extra tail")
+    val dupB = 101L -> (base + " extra tail tweak")
+    val df = docsDf((unrelated ++ Seq(dupA, dupB)): _*)
+    // cap below the hot shingle's df: the hot bucket is excluded entirely
+    val capped = Dedup.ngramJaccardPairs(df, 3, 0.3, maxDocFreq = 10).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+    // and the surviving pair's jaccard is EXACT over the full shingle sets
+    val uncapped = Dedup.ngramJaccardPairs(df, 3, 0.3, maxDocFreq = 1000000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cappedJ = capped.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cappedJ((100L, 101L)) == uncapped((100L, 101L)))
+    // without the cap the hot shingle creates the quadratic candidate bucket
+    assert(uncapped.size == 1 || uncapped.keys.exists(p => p._1 < 40L)) // hot pairs exist pre-threshold
+  }
+
+  test("fused L2NormExpr matches the HOF norm; RhpSigExpr is deterministic and sign-stable") {
+    val r = new java.util.Random(3)
+    val vecs = (0L until 50L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
+    val df = embDf(vecs: _*)
+    val both = df.select(col("vec_id"),
+      graft.functions.L2NormExpr(col("embedding")).as("fused"),
+      Similarity.l2Norm(col("embedding")).as("hof")).collect()
+    both.foreach(x => assert(math.abs(x.getDouble(1) - x.getDouble(2)) < 1e-9))
+    val s1 = df.select(Similarity.rhpSignature(col("embedding"), 32)).collect().map(_.getLong(0))
+    val s2 = df.select(Similarity.rhpSignature(col("embedding"), 32)).collect().map(_.getLong(0))
+    assert(s1.toSeq == s2.toSeq)
+    // scaling a vector by a positive constant never flips sign bits
+    val scaled = embDf(vecs.map { case (i, v) => i -> v.map(_ * 3.0f) }: _*)
+    val s3 = scaled.select(Similarity.rhpSignature(col("embedding"), 32)).collect().map(_.getLong(0))
+    assert(s1.toSeq == s3.toSeq)
+  }
+
   private def embDf(rows: (Long, Seq[Float])*) = {
     val schema = StructType(Seq(StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
     spark.createDataFrame(
