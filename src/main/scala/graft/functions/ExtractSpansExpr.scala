@@ -54,8 +54,8 @@ case class ExtractSpansExpr(left: Expression, right: Expression, annotate: Boole
         val text = if (r.isNullAt(1)) null else r.getUTF8String(1)
         val media = if (r.isNullAt(2)) null else r.getUTF8String(2)
         raw(i) = RawSpan(
-          if (kind == null) "" else kind.toString,
-          if (text == null) "" else text.toString,
+          if (kind == null) "" else ExtractSpansExpr.internRawKind(kind),
+          if (text == null || text.numBytes == 0) "" else text.toString,
           if (media == null) null else media.toString,
           r.getInt(3))
         i += 1
@@ -70,7 +70,7 @@ case class ExtractSpansExpr(left: Expression, right: Expression, annotate: Boole
       var j = 0
       out.foreach { s =>
         rows(j) = InternalRow(
-          UTF8String.fromString(s.kind), UTF8String.fromString(s.text),
+          ExtractSpansExpr.internOutKind(s.kind), UTF8String.fromString(s.text),
           if (s.media_ref == null) null else UTF8String.fromString(s.media_ref), j)
         j += 1
       }
@@ -112,4 +112,35 @@ object ExtractSpansExpr {
   def apply(spans: Column, meta: Column, annotate: Boolean = false): Column =
     ColumnBridge.column(ExtractSpansExpr(
       ColumnBridge.expression(spans), ColumnBridge.expression(meta), annotate))
+
+  // ---- kind interning (allocation wall, VERDICT r01 #4): both kind
+  // vocabularies are closed, so per-span UTF8String<->String conversions are
+  // table lookups, not allocations. Text payloads still convert (the parser
+  // core is String-based — the remaining, dominant share of the allocation
+  // profile; see BASELINE.md).
+
+  private val rawKindTable: java.util.HashMap[UTF8String, String] = {
+    val m = new java.util.HashMap[UTF8String, String]()
+    val kinds = Seq(Kinds.P, Kinds.Tbl, Kinds.TblEnd, Kinds.Tr, Kinds.TrEnd,
+      Kinds.Tc, Kinds.TcEnd, Kinds.Drawing, Kinds.Sdt, Kinds.SdtEnd,
+      Kinds.StyleDef, Kinds.Rel) ++ Kinds.Boilerplate ++ Kinds.Dropped
+    kinds.foreach(k => m.put(UTF8String.fromString(k), k))
+    m
+  }
+
+  private val outKindTable: java.util.HashMap[String, UTF8String] = {
+    val m = new java.util.HashMap[String, UTF8String]()
+    Kinds.OutputKinds.foreach(k => m.put(k, UTF8String.fromString(k)))
+    m
+  }
+
+  private[functions] def internRawKind(u: UTF8String): String = {
+    val s = rawKindTable.get(u)
+    if (s != null) s else u.toString
+  }
+
+  private[functions] def internOutKind(s: String): UTF8String = {
+    val u = outKindTable.get(s)
+    if (u != null) u else UTF8String.fromString(s)
+  }
 }

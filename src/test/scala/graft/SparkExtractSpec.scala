@@ -131,7 +131,10 @@ class SparkExtractSpec extends AnyFunSuite {
     val raw = corpus(200) ++ Seq(SyntheticCorpus.rawDoc("doc-mega-000000997"),
       SyntheticCorpus.rawDoc("doc-poison-000001009"))
     val expected = oracleOf(raw)
-    val out = Extract.runAuto(raw.toDS().toDF(), chunkThreshold = 512).collect()
+    // thresholds force all three tiers: most docs fused, the mega doc either
+    // spread or chunked depending on its size draw
+    val out = Extract.runAuto(raw.toDS().toDF(),
+      spreadThreshold = 512, hugeThreshold = 6000).collect()
     assert(out.length == raw.length)
     val good = out.filter(r => !r.isNullAt(1) && r.getSeq[org.apache.spark.sql.Row](1).nonEmpty)
     assert(good.length == expected.size)
