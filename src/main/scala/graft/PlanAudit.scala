@@ -46,7 +46,7 @@ object PlanAudit {
 
     val exprRate = n / exprSec / 8
     val summary =
-      f"""# PLANS — plan audit & hot-path profile (round 1)
+      f"""# PLANS — plan audit & hot-path profile (round 2)
          |
          |## Hot path: encoder overhead
          |
@@ -57,12 +57,16 @@ object PlanAudit {
          || fused extract_spans expression per-core (local[8]) | $exprRate%.0f docs/sec |
          || typed-path encoder+framework overhead | ${100 * (1 - sparkRate / pureRate)}%.1f%% |
          |
-         |PITFALL (verified): filtering on the expression's output struct
-         |(`where(x.error is null)`) gets pushed below the project and the
-         |optimizer substitutes the alias — extract_spans then appears 3x in
-         |the physical plan and extraction runs 3x per row. Production jobs
-         |write the full (doc_id, spans, error) output and split downstream,
-         |or persist before splitting (Lineage does the latter).
+         |PITFALL (verified, extended in r02): any predicate that ends up below
+         |the project re-evaluates extract_spans per reference. `where(x.error
+         |is null)` is pushed + alias-substituted (3 evals), and even a plain
+         |posexplode triggers InferFiltersFromGenerate, whose size()/isnotnull
+         |conditions sink below the project (5 evals). Remedy used by x5:
+         |posexplode_outer (infers no filters) + a filter on the GENERATED pos
+         |column, which cannot sink below its Generate — plan-audited to exactly
+         |one extract_spans (SparkExtractSpec). Production jobs write the full
+         |(doc_id, spans, error) output and split downstream, or persist before
+         |splitting (Lineage does the latter).
          |
          |""".stripMargin
 
@@ -88,6 +92,20 @@ object PlanAudit {
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 1))
     sb ++= explainOf("scan pruning check: q_doc_stats reads only needed struct fields",
       graft.queries.SpanQueries.docStats(fx))
+    sb ++= explainOf("q_heading_paths via span_nav (r01 #1 fix — expect: scan + project + generate, NO Exchange)",
+      graft.queries.SpanQueries.headingPaths(fx))
+    sb ++= explainOf("x5_extract_expr_spans (r01 #2 fix — expect: exactly ONE extract_spans; filter on generated pos)",
+      SparkEntry.queries("x5_extract_expr_spans")(spark, ""))
+    sb ++= explainOf("extract_auto tiers (r01 #3 — expect: union of fused scan, fused+RoundRobin exchange of outliers, chunked residual)",
+      Extract.runAuto(spark.read.schema(graft.model.Schemas.rawDocs).parquet(Fixtures.RawPath),
+        spreadThreshold = 1024, hugeThreshold = 6000))
+    sb ++= explainOf("d_ngram_jaccard with df-cap (r01 #8 — expect: aggregate+semi-join gate before the inverted-index self-join)",
+      graft.functions.Dedup.ngramJaccardPairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3, 0.5))
+    sb ++= explainOf("s_ann_lsh (r01 #9 — expect: fused rhp_sig, band join ships ids only, norms per-row pre-join)",
+      graft.functions.Similarity.lshTopK(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 5))
     Files.write(Paths.get("/root/repo/PLANS.md"), sb.toString.getBytes)
     println(f"AUDIT pure=$pureRate%.0f/s spark_per_core=$sparkRate%.0f/s overhead=${100 * (1 - sparkRate / pureRate)}%.1f%%")
     spark.stop()
