@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.core.Extract
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming form of the extraction pipeline (§2.10).
+  *
+  * The reference is a single-shot parser, so streaming has no behavioral
+  * counterpart there — but the north rule's operational requirements
+  * (checkpoint resume, per-batch lineage) map 1:1 onto Structured Streaming
+  * primitives, so the engine exposes both forms over the SAME transform:
+  *
+  *  - [[graft.core.Lineage]]: explicit batch driver with its own commit
+  *    markers (storage-agnostic, Iceberg-snapshot-shaped);
+  *  - this class: `readStream` file source → fused `extract_spans` →
+  *    parquet sink, with Spark's checkpoint/WAL providing exactly-once
+  *    per-FILE progress. A killed job restarted with the same checkpoint
+  *    directory processes only unseen input files.
+  *
+  * The transform is the identical Catalyst plan as the batch `runExpr` path
+  * — streaming-vs-batch parity is therefore a plan property, not a reimpl
+  * (asserted in StreamingExtractSpec), and per-row throughput matches the
+  * batch fast path at 100 TB-style continuous ingestion.
+  */
+object StreamingExtract {
+
+  /** Continuous (or catch-up) extraction of raw-doc parquet files landing in
+    * `inputDir`. `Trigger.AvailableNow` drains everything present and stops —
+    * the streaming analog of a resumable batch backfill; pass
+    * `Trigger.ProcessingTime(...)` for an always-on tail job.
+    *
+    * `maxFilesPerTrigger` bounds micro-batch size so one trigger never
+    * bites off an unbounded backlog (admission control at scale).
+    */
+  def start(spark: SparkSession, inputDir: String, outputDir: String,
+            checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.rawDocs)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    Extract.runExpr(raw)
+      .writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Streaming quality telemetry over the extraction output: per-trigger
+    * windowed counts of extracted vs quarantined documents — watermarked
+    * event-time aggregation, the standard freshness/health signal of an
+    * always-on ingestion pipeline. Returns the aggregated streaming frame
+    * for the caller to sink (memory sink in tests, a metrics table in prod).
+    */
+  def healthCounts(extracted: DataFrame, windowLength: String = "1 minute"): DataFrame =
+    extracted
+      .withColumn("event_time", current_timestamp())
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(window(col("event_time"), windowLength))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("error").isNull, size(col("spans"))).otherwise(0L)).as("n_spans"))
+}
