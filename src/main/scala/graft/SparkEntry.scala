@@ -114,6 +114,26 @@ object SparkEntry {
       |  * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 1e-12)""".stripMargin
 
+  /** Shared CTE chain producing exact n-gram-Jaccard candidate pairs `j(a,
+    * b, jaccard)` — mirrors `Dedup.ngramJaccardPairs` (df-cap 1000, trigram
+    * shingles, exact Jaccard over full distinct shingle sets). Used by the
+    * d_ngram_jaccard / d_cc_components / d_drop_near_cc oracles. */
+  private val ngramPairsCtes: String =
+    s"""t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+       |inv AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
+       |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+       |inv2 AS (SELECT inv.doc_id AS doc_id, inv.g AS g FROM inv JOIN keep USING (g)),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM inv2 x JOIN inv2 y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |j AS (SELECT a, b, round(
+       |    CAST(len(list_intersect(za.sh, zb.sh)) AS DOUBLE) /
+       |    CAST(len(za.sh) + len(zb.sh) - len(list_intersect(za.sh, zb.sh)) AS DOUBLE), 6) AS jaccard
+       |  FROM p JOIN sh za ON za.doc_id = p.a JOIN sh zb ON zb.doc_id = p.b)""".stripMargin
+
   // -------------------------------------------------------------- queries
 
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -297,6 +317,10 @@ object SparkEntry {
     "d_minhash" -> ((s, dir) => Dedup.minHashNearDuplicates(documents(s, dir), 0.5)),
     "d_simhash" -> ((s, dir) => Dedup.simHashNearDuplicates(documents(s, dir), 3)),
     "d_drop_near" -> ((s, dir) => Dedup.dropNearDuplicates(documents(s, dir), 0.5)
+      .select(col("doc_id"))),
+    "d_cc_components" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.5))),
+    "d_drop_near_cc" -> ((s, dir) => Dedup.dropNearDuplicatesCC(documents(s, dir), 0.5)
       .select(col("doc_id"))),
     "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
     "d_embed_neardup_lsh" -> ((s, dir) => Dedup.embeddingNearDuplicatesLsh(embeddings(s, dir), 0.9)),
@@ -539,21 +563,28 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, row_number() OVER
          |  (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1""".stripMargin,
     "d_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-         |    list_distinct(list_transform(range(1, len(toks) - 1),
-         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-         |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
-         |inv AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
-         |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
-         |inv2 AS (SELECT inv.doc_id AS doc_id, inv.g AS g FROM inv JOIN keep USING (g)),
-         |p AS (SELECT x.doc_id AS a, y.doc_id AS b
-         |  FROM inv2 x JOIN inv2 y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
-         |j AS (SELECT a, b, round(
-         |    CAST(len(list_intersect(za.sh, zb.sh)) AS DOUBLE) /
-         |    CAST(len(za.sh) + len(zb.sh) - len(list_intersect(za.sh, zb.sh)) AS DOUBLE), 6) AS jaccard
-         |  FROM p JOIN sh za ON za.doc_id = p.a JOIN sh zb ON zb.doc_id = p.b)
+      s"""WITH $ngramPairsCtes
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "d_cc_components" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |pr AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u""".stripMargin,
+    "d_drop_near_cc" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |pr AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin,
     "d_embed_neardup" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b, round($cosSql, 6) AS cosine
          |FROM embeddings a CROSS JOIN embeddings b

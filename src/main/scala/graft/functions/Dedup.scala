@@ -46,6 +46,60 @@ object Dedup {
     documents.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected-component labeling over a near-duplicate pair table
+    * `(a, b)` → `(doc_id, component)` where `component` is the minimum
+    * doc_id of the cluster. Greedy keep-first dedup ([[dropNearDuplicates]])
+    * under-merges chains (a~b, b~c but a!~b candidate-wise); component
+    * closure is the standard web-pipeline fix.
+    *
+    * Algorithm: iterative min-label propagation — labels start as own ids;
+    * each round every vertex takes the min of its and its neighbors' labels;
+    * fixpoint in O(component diameter) rounds. Near-dup clusters have tiny
+    * diameters, so this converges in a handful of rounds; each round is one
+    * join + one aggregate on the (candidate-pair-sized, corpus-small) edge
+    * set, with the driver only checking a convergence COUNT (no row data
+    * ever collected). For adversarial long-chain graphs swap in the
+    * two-phase large-star/small-star variant; the contract is unchanged.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
+        .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize before comparing
+      changed = next.join(labels.select(col("v"), col("label").as("old")), "v")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Component-closure dedup over exact n-gram Jaccard pairs: every document
+    * in a near-dup component except its min-id representative is dropped.
+    * (The oracle-able composition: [[ngramJaccardPairs]] is exact, so the
+    * components — and hence the survivors — are DuckDB-checkable via a
+    * recursive transitive closure.) */
+  def dropNearDuplicatesCC(documents: DataFrame, threshold: Double = 0.8,
+                           ngram: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
+    val comps = connectedComponents(
+      ngramJaccardPairs(documents, ngram, threshold, maxDocFreq))
+    val losers = comps.where(col("doc_id") =!= col("component")).select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature over a (materialized) shingle-array column — the

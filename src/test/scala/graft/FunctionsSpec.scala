@@ -97,6 +97,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(s1.toSeq == s3.toSeq)
   }
 
+  test("connectedComponents labels chains and separate clusters with min ids") {
+    import spark.implicits._
+    // chain 1-2-3-4 (no direct 1-4 pair), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicatesCC keeps one representative per component plus untouched docs") {
+    // three copies of base (mutual near-dups) + one unrelated doc
+    val df = docsDf(1L -> base, 2L -> base.replace("lazy", "sleepy"),
+      3L -> base.replace("dog", "cat"), 4L -> "entirely different words here about nothing")
+    val kept = Dedup.dropNearDuplicatesCC(df, 0.3).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   private def embDf(rows: (Long, Seq[Float])*) = {
     val schema = StructType(Seq(StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
     spark.createDataFrame(
