@@ -334,6 +334,10 @@ object SparkEntry {
       val e = embeddings(s, dir)
       Similarity.lshTopK(e.where(col("vec_id") < 20), e, 5)
     }),
+    "s_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfTopK(e.where(col("vec_id") < 20), e, 5)
+    }),
 
     // ---- relational demonstrations (TPC-H-ish tables) ----
     "r_q1" -> ((s, dir) => s.read.parquet(s"$dir/lineitem.parquet")

@@ -63,6 +63,68 @@ object Similarity {
     }: _*)
   }
 
+  /** Deterministic coarse k-means quantizer for [[ivfTopK]]: seeds are the
+    * `nLists` corpus rows with the smallest `xxhash64(vec_id)` (stable under
+    * any partitioning), refined by `iters` Lloyd rounds with cosine
+    * assignment. Each round is ONE distributed aggregate (assign via the
+    * fused [[NearestCentroidsExpr]], per-dimension means via explode +
+    * groupBy); only the nLists × dims centroid matrix — the model, a few KB —
+    * is ever collected to the driver. At 100 TB, train on a `.limit(...)`
+    * sample; the assignment stage is unchanged.
+    */
+  def trainCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2): Array[Array[Float]] = {
+    val seedRows = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(nLists).collect()
+    var centroids = seedRows.map(_.getSeq[Float](1).toArray)
+    val dims = centroids.headOption.map(_.length).getOrElse(0)
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.select(
+        element_at(NearestCentroidsExpr(col("embedding"), centroids, 1), 1).as("list_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      val means = assigned.groupBy(col("list_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val l = r.getInt(0); val d = r.getInt(1)
+        if (l < next.length && d < dims) next(l)(d) = r.getDouble(2).toFloat
+      } // lists with no members keep their previous centroid
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN — the third search path next to [[bruteForceTopK]]
+    * (exact baseline) and [[lshTopK]] (hash-bucketed): a coarse quantizer
+    * partitions the corpus into `nLists` inverted lists; each query probes
+    * its `nProbe` nearest lists and reranks EXACTLY (cosine) within them.
+    * Cost per query ≈ nProbe/nLists of the corpus; recall rises with
+    * `nProbe`. Plan shape: corpus assigned per-row (fused expression, no
+    * shuffle), one join on `list_id` (AQE broadcasts the probed query side
+    * when small), norms per-row before the join.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, nLists, iters)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      L2NormExpr(col("embedding")).as("cn"),
+      element_at(NearestCentroidsExpr(col("embedding"), cents, 1), 1).as("list_id"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        L2NormExpr(col("embedding")).as("qn"),
+        NearestCentroidsExpr(col("embedding"), cents, nProbe).as("probes"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("probes")).as("list_id"))
+    val scored = q.join(c, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: join queries to corpus rows sharing at least one
     * signature band, score only those candidates, keep top-k. Recall rises
     * with `numBands` (multiprobe); cost stays ~bucket-sized.

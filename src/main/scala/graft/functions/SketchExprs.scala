@@ -310,6 +310,73 @@ object RhpSigExpr {
     ColumnBridge.column(RhpSigExpr(ColumnBridge.expression(embedding), bits))
 }
 
+/** Nearest-centroids assignment for IVF ANN: `nearest_centroids(embedding)
+  * → array<int>` of the `nProbe` centroid indices ranked by cosine (ties by
+  * index). The centroid matrix (small: nLists × dims) ships inside the
+  * expression; norms are precomputed once at construction. One fused pass:
+  * nLists dot products per row, no HOF materialization, no join against a
+  * centroid table. Cosine ranking makes assignment scale-invariant
+  * (spherical-k-means style), matching the cosine rerank metric.
+  */
+case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && nProbe >= 1 && nProbe <= centroids.length)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.max(math.sqrt(acc), 1e-12)
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = centroids.length
+    val cos = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) {
+        if (!arr.isNullAt(i)) dot += arr.getFloat(i).toDouble * cent(i).toDouble
+        i += 1
+      }
+      cos(c) = dot / centroidNorms(c) // row norm constant across centroids: rank-invariant
+      c += 1
+    }
+    // partial selection of the nProbe best (k is small; simple selection)
+    val picked = new Array[Any](nProbe)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestV = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        if (!used(j) && cos(j) > bestV) { best = j; bestV = cos(j) }
+        j += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
+object NearestCentroidsExpr {
+  def apply(embedding: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroidsExpr(ColumnBridge.expression(embedding), centroids, nProbe))
+}
+
 /** Fused L2 norm of a float-array embedding: `l2_norm(embedding) → double` —
   * one pass, no HOF materialization. Computed ONCE per row before any band
   * join (norms per candidate PAIR was the other half of VERDICT r01 #9). */

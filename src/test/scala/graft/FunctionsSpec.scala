@@ -141,6 +141,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(lsh.head.getLong(2) == 5L) // recalled through the bucket join
   }
 
+  test("IVF ANN recalls the planted neighbor; assignment is scale-invariant") {
+    val r = new java.util.Random(13)
+    val vecs = (0L until 200L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
+    val planted = 200L -> vecs(9)._2.map(x => x * 0.97f + 0.005f)
+    val df = embDf((vecs :+ planted): _*)
+    val ivf = Similarity.ivfTopK(df.where(col("vec_id") === 200), df, 1,
+      nLists = 8, nProbe = 4).collect()
+    assert(ivf.head.getLong(2) == 9L)
+    // cosine assignment: scaling every vector must not change any assignment
+    val cents = Similarity.trainCentroids(df, 8)
+    val a1 = df.select(col("vec_id"),
+      element_at(graft.functions.NearestCentroidsExpr(col("embedding"), cents, 1), 1)).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val scaled = embDf((vecs :+ planted).map { case (i, v) => i -> v.map(_ * 5.0f) }: _*)
+    val a2 = scaled.select(col("vec_id"),
+      element_at(graft.functions.NearestCentroidsExpr(col("embedding"), cents, 1), 1)).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(a1 == a2)
+  }
+
   test("LSH embedding near-dup recalls the exact path's pairs at high cosine") {
     val r = new java.util.Random(11)
     val base = (0L until 60L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
