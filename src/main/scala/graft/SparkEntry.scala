@@ -115,7 +115,7 @@ object SparkEntry {
       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 1e-12)""".stripMargin
 
   /** Shared CTE chain producing exact n-gram-Jaccard candidate pairs `j(a,
-    * b, jaccard)` — mirrors `Dedup.ngramJaccardPairs` (df-cap 1000, trigram
+    * b, jaccard)` — mirrors `Dedup.ngramJaccardPairs` (df-cap 100, trigram
     * shingles, exact Jaccard over full distinct shingle sets). Used by the
     * d_ngram_jaccard / d_cc_components / d_drop_near_cc oracles. */
   private val ngramPairsCtes: String =
@@ -125,7 +125,7 @@ object SparkEntry {
        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
        |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
        |inv AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
-       |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+       |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 100),
        |inv2 AS (SELECT inv.doc_id AS doc_id, inv.g AS g FROM inv JOIN keep USING (g)),
        |p AS (SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM inv2 x JOIN inv2 y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),

@@ -152,6 +152,47 @@ object SketchTokens {
   }
 }
 
+/** Fused text→distinct-shingle-hash set: `shingle_hashes(text, n)` →
+  * sorted `array<long>` of the distinct XXH64 hashes of the word n-gram
+  * shingles (tokenize + shingle + hash + dedup in ONE eval). Mirrors
+  * `TextAnalysis.wordShingles` semantics: texts with ≤ n tokens yield one
+  * whole-text shingle.
+  *
+  * This is the scale form of the inverted-index dedup input: downstream
+  * joins/aggregates key on 8-byte longs instead of ~25-char strings (a
+  * string-keyed shuffle of the shingle universe was the dominant cost of
+  * `ngramJaccardPairs` at sf0.1 — measured ~10x this), and set
+  * intersections for exact Jaccard run on sorted longs. XXH64 collisions
+  * (~|shingles|²/2⁶⁴) are negligible against the 6-decimal Jaccard compare.
+  */
+case class ShingleHashExpr(child: Expression, ngram: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = SketchTokens.shingleHashes(
+      SketchTokens.tokenize(input.toString), ngram)
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted array
+    var w = 0
+    var i = 0
+    while (i < hashes.length) {
+      if (w == 0 || hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == hashes.length) hashes else java.util.Arrays.copyOf(hashes, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashExpr {
+  def apply(text: Column, ngram: Int): Column =
+    ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), ngram))
+}
+
 /** Fused text→MinHash signature: tokenize + shingle + hash + k-permutation
   * mins in ONE eval — a `CodegenFallback` expression must not have HOF
   * children (they would be forced into interpreted eval, measured ~20x
