@@ -192,6 +192,12 @@ object SparkEntry {
       import s.implicits._
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
+    "m_resize" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.resizeImages(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
+        .select(col("doc_id"), col("media_ref"), col("width_px"), col("height_px"),
+          col("target_w"), col("target_h"))
+    }),
     "x5_extract_expr_spans" -> ((s, _) =>
       // Quarantined rows carry spans = null and are dropped AFTER the explode
       // by filtering the GENERATED pos column. Both a `.where(col("error")
@@ -515,6 +521,15 @@ object SparkEntry {
          |FROM sec WINDOW ws AS (PARTITION BY doc_id, section_off ORDER BY "offset")""".stripMargin,
     "q_concat_self" ->
       s"SELECT doc_id, len(spans) * 2 AS n_spans FROM ${fixturesSql("docs")}",
+    "m_resize" ->
+      s"""WITH m AS (SELECT doc_id, media_ref,
+         |  greatest(CAST(width_emu // 9525 AS INTEGER), 1) AS w,
+         |  greatest(CAST(height_emu // 9525 AS INTEGER), 1) AS h
+         |  FROM ${fixturesSql("media")})
+         |SELECT doc_id, media_ref, w AS width_px, h AS height_px,
+         |  greatest(CAST(round(w * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_w,
+         |  greatest(CAST(round(h * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_h
+         |FROM m""".stripMargin,
     "m_media_join" ->
       s"""SELECT d.doc_id AS doc_id, u.media_ref AS media_ref, u.offset AS offset,
          |  m.content_type AS content_type, m.name AS name

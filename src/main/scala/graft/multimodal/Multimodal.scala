@@ -63,6 +63,50 @@ object Multimodal {
     }
   }
 
+  /** Resized media row: same table shape as the input (a resize pipeline
+    * stage is payload→payload), with the target geometry recorded. */
+  final case class ResizedMedia(
+      doc_id: String, media_ref: String, content_type: String,
+      width_px: Int, height_px: Int, target_w: Int, target_h: Int,
+      bytes: Array[Byte])
+
+  /** STUB resize: aspect-preserving fit into a `target` box. The geometry
+    * math (letterbox fit, EMU→px) is real; the pixel resample is a
+    * deterministic byte fold standing in for the codec call (no image libs
+    * in this container). Plumbing is the production shape: mapPartitions
+    * with a per-partition codec-init seam, payload in → payload out, so the
+    * stage chains after [[decodeImageMeta]] and before any writer. Output
+    * size scales with the target area — the real memory profile a resize
+    * stage must budget for (partition sizing note: output rows are
+    * ~target_w×target_h×3 bytes in production; keep
+    * `spark.sql.files.maxPartitionBytes` sized for the DECODED, not encoded,
+    * footprint). */
+  def resizeImages(media: Dataset[MediaRow], target: Int = 256): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition init seam: real resampler/codec constructed HERE, once
+      it.map { m =>
+        val emuPerPx = 9525L
+        val w = math.max(1, (m.width_emu / emuPerPx).toInt)
+        val h = math.max(1, (m.height_emu / emuPerPx).toInt)
+        val scale = math.min(target.toDouble / w, target.toDouble / h)
+        val tw = math.max(1, math.round(w * scale).toInt)
+        val th = math.max(1, math.round(h * scale).toInt)
+        val src = if (m.bytes == null) Array.emptyByteArray else m.bytes
+        // deterministic stand-in "pixels": fold the source bytes into a
+        // buffer sized like a tiny thumbnail plane (tw*th capped)
+        val out = new Array[Byte](math.min(tw * th, 4096))
+        var i = 0
+        while (i < src.length) {
+          out(i % out.length) = (out(i % out.length) ^ src(i)).toByte
+          i += 1
+        }
+        ResizedMedia(m.doc_id, m.media_ref, m.content_type, w, h, tw, th, out)
+      }
+    }
+  }
+
   /** Media join (J3, `ImageExtractor.cs:61-81`): image spans ⋈ media on
     * (doc_id, media_ref). The media catalog of a doc-partitioned corpus is
     * small relative to the spans table → broadcast; at full scale with

@@ -208,5 +208,16 @@ class FunctionsSpec extends AnyFunSuite {
     val frames = graft.multimodal.Multimodal.sampleFrames(media, stride = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_idx % 2 == 0))
+    val resized = graft.multimodal.Multimodal.resizeImages(media, target = 256).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      // aspect-preserving letterbox fit: inside the box, one side touching it
+      assert(r.target_w <= 256 && r.target_h <= 256)
+      assert(r.target_w == 256 || r.target_h == 256)
+      val inRatio = r.width_px.toDouble / r.height_px
+      val outRatio = r.target_w.toDouble / r.target_h
+      assert(math.abs(inRatio - outRatio) / inRatio < 0.02, s"$inRatio vs $outRatio")
+      assert(r.bytes.nonEmpty)
+    }
   }
 }
