@@ -48,9 +48,14 @@ object ScalingBench {
     * extraction expression per row — quarantine splitting is a downstream
     * (or partitioned-write) concern. */
   private def job(spark: SparkSession): (Double, Long) = {
+    import spark.implicits._
     val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(Bench.BenchRawPath)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "expr")
     val t0 = System.nanoTime()
-    Extract.runExpr(raw).write.mode(SaveMode.Overwrite).parquet(OutPath)
+    (mode match {
+      case "typed" => Extract.run(raw.as[RawDoc]).toDF()
+      case _ => Extract.runExpr(raw)
+    }).write.mode(SaveMode.Overwrite).parquet(OutPath)
     val sec = (System.nanoTime() - t0) / 1e9
     val n = spark.read.parquet(OutPath).count()
     (sec, n)
