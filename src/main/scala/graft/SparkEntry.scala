@@ -157,6 +157,9 @@ object SparkEntry {
 
     // ---- span-query algebra ----
     "q_all_text" -> ((s, _) => SpanQueries.allText(Fixtures.docs(s))),
+    // A4 composition: GetAllTextWithMetadata = the allText join over the
+    // annotated extraction surface (DocumentPropertyExtensions.cs:60-79)
+    "q_all_text_annotated" -> ((s, _) => SpanQueries.allText(Fixtures.annotated(s))),
     "q_count_by_kind" -> ((s, _) => SpanQueries.countByKind(Fixtures.docs(s))),
     "q_toc" -> ((s, _) => SpanQueries.toc(Fixtures.docs(s))),
     "q_doc_stats" -> ((s, _) => SpanQueries.docStats(Fixtures.docs(s))
@@ -490,6 +493,10 @@ object SparkEntry {
       s"""SELECT doc_id, array_to_string(list_transform(list_filter(spans,
          |  s -> s.kind NOT IN ('table', 'image') AND s.text <> ''), s -> s.text), chr(10)) AS text
          |FROM ${fixturesSql("docs")}""".stripMargin,
+    "q_all_text_annotated" ->
+      s"""SELECT doc_id, array_to_string(list_transform(list_filter(spans,
+         |  s -> s.kind NOT IN ('table', 'image') AND s.text <> ''), s -> s.text), chr(10)) AS text
+         |FROM ${fixturesSql("annotated_docs")}""".stripMargin,
     "q_count_by_kind" ->
       s"""SELECT u.kind AS kind, count(*) AS n
          |FROM (SELECT UNNEST(spans) AS u FROM ${fixturesSql("docs")}) GROUP BY 1""".stripMargin,

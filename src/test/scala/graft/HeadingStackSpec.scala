@@ -69,6 +69,37 @@ class HeadingStackSpec extends AnyFunSuite {
     assert(placed(4).headingPath == Seq("h1-3"))
   }
 
+  test("SpanNavExpr agrees with HeadingStack + direct simulation on 300 random docs") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = randomDocs.zipWithIndex.map { case (levels, i) =>
+      graft.model.Doc(s"r$i", spans(levels))
+    }
+    val nav = graft.queries.SpanQueries.spanNav(docs.toDS().toDF()).collect()
+      .map(r => (r.getString(0), r.getInt(3)) ->
+        (r.getString(4), r.getInt(5), r.getInt(6), r.getString(7), r.getString(8))).toMap
+    docs.foreach { d =>
+      val placed = HeadingStack.place(d.spans)
+      var lastHeading = -1
+      d.spans.zipWithIndex.foreach { case (s, i) =>
+        val lvl = HeadingStack.headingLevelOf(s.kind)
+        val (path, depth, sectionOff, prev, next) = nav((d.doc_id, s.offset))
+        val p = placed(i)
+        val expPath = if (lvl > 0) (p.headingPath :+ s.text).mkString(" > ")
+                      else p.headingPath.mkString(" > ")
+        assert(path == expPath, s"${d.doc_id}@${s.offset} path")
+        assert(depth == p.depth, s"${d.doc_id}@${s.offset} depth")
+        if (lvl > 0) lastHeading = s.offset
+        assert(sectionOff == lastHeading, s"${d.doc_id}@${s.offset} section")
+        val expPrev = if (lvl == 0 && i > 0) d.spans(i - 1).text else null
+        val expNext = if (i + 1 < d.spans.length &&
+          HeadingStack.headingLevelOf(d.spans(i + 1).kind) == 0) d.spans(i + 1).text else null
+        assert(prev == expPrev, s"${d.doc_id}@${s.offset} prev")
+        assert(next == expNext, s"${d.doc_id}@${s.offset} next")
+      }
+    }
+  }
+
   test("section slicing: subtree runs until same-or-shallower heading") {
     val s = spans(Seq(1, 0, 2, 0, 2, 1, 0))
     val sec = HeadingStack.section(s, "h2-2")
