@@ -72,24 +72,25 @@ object SparkEntry {
       s"""last_value(CASE WHEN kind = 'heading$l' THEN text END IGNORE NULLS) OVER w AS _t$l, """ +
       s"""last_value(CASE WHEN kind = 'heading$l' THEN "offset" END IGNORE NULLS) OVER w AS _o$l"""
     }.mkString(", ")
-    val valid = (1 to 9).map { l =>
+    // depth counted STRUCTURALLY (number of valid governing levels), not by
+    // re-splitting the breadcrumb string — a heading text containing ' > '
+    // must not change the count
+    val validCount = (1 to 9).map { l =>
       val shallower = (1 until l).map(j => s"coalesce(_o$j, -1)")
       val maxShallower = shallower match {
         case Seq() => "-1"
         case Seq(one) => one
         case many => s"greatest(${many.mkString(", ")})"
       }
-      s"CASE WHEN _o$l IS NOT NULL AND _o$l > $maxShallower THEN _t$l END"
-    }.mkString(", ")
+      s"(CASE WHEN _o$l IS NOT NULL AND _o$l > $maxShallower THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
     s"""WITH ex AS (SELECT doc_id, u.kind AS kind, u.text AS text, u."offset" AS "offset"
        |  FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})),
        |wl AS (SELECT doc_id, kind, text, "offset", $lastCols FROM ex
-       |  WINDOW w AS (PARTITION BY doc_id ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |hp AS (SELECT doc_id, "offset", kind, concat_ws(' > ', $valid) AS heading_path FROM wl)
-       |SELECT doc_id, "offset", CAST(
-       |  (CASE WHEN heading_path = '' THEN 0 ELSE len(string_split(heading_path, ' > ')) END)
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT doc_id, "offset", CAST(($validCount)
        |  + (CASE WHEN regexp_matches(kind, $headingRx) THEN 0 ELSE 1 END) AS INTEGER) AS depth
-       |FROM hp""".stripMargin
+       |FROM wl""".stripMargin
   }
 
   private def sectionTextSql(needle: String): String =
@@ -210,17 +211,16 @@ object SparkEntry {
       // r01 pitfall). posexplode_outer infers no filters, and a predicate on
       // a generated column cannot sink below its Generate. Plan-audited:
       // exactly one extract_spans per row.
-      Extract.runExpr(Fixtures.raw(s)).select(col("doc_id"), col("spans"))
-        .select(col("doc_id"), posexplode_outer(col("spans")).as(Seq("pos", "span")))
-        .where(col("pos").isNotNull)
-        .select(col("doc_id"), col("span.kind").as("kind"), col("span.text").as("text"),
-          col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))),
+      SpanQueries.flattenSpansOnce(
+        Extract.runExpr(Fixtures.raw(s)).select(col("doc_id"), col("spans")))),
     "x6_extract_auto" -> ((s, _) => {
       import s.implicits._
       Fixtures.ensure(s)
       // thresholds chosen so the fixture corpus populates ALL THREE tiers:
-      // regular docs fused, smaller megas spread, larger megas chunked
-      SpanQueries.flattenSpans(
+      // regular docs fused, smaller megas spread, larger megas chunked.
+      // flattenSpansOnce: a plain posexplode's inferred filters would push
+      // through the union and re-evaluate extract_spans in the fused tiers.
+      SpanQueries.flattenSpansOnce(
         Extract.runAuto(s.read.parquet(Fixtures.RawPath),
           spreadThreshold = 1024, hugeThreshold = 6000))
     }),
@@ -330,6 +330,8 @@ object SparkEntry {
     "d_cc_components" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.5))),
     "d_drop_near_cc" -> ((s, dir) => Dedup.dropNearDuplicatesCC(documents(s, dir), 0.5)
+      .select(col("doc_id"))),
+    "d_drop_near_cc_lsh" -> ((s, dir) => Dedup.dropNearDuplicatesCCLsh(documents(s, dir), 0.5)
       .select(col("doc_id"))),
     "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
     "d_embed_neardup_lsh" -> ((s, dir) => Dedup.embeddingNearDuplicatesLsh(embeddings(s, dir), 0.9)),

@@ -71,12 +71,14 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      // propagate: min over self + neighbors
+      // propagate: min over self + neighbors (persisted — it feeds BOTH
+      // sides of the shortcut join below and must not recompute)
       val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
         .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
       val propagated = labels.join(prop, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
       // shortcut (pointer jumping): follow the label one more hop
       val hop = propagated.select(col("v").as("label"), col("label").as("ll"))
       val next = propagated.join(hop, Seq("label"), "left")
@@ -85,12 +87,30 @@ object Dedup {
         .persist()
       changed = next.join(labels.select(col("v"), col("label").as("old")), "v")
         .where(col("label") =!= col("old")).count()
+      propagated.unpersist()
       labels.unpersist()
       labels = next
       rounds += 1
     }
     edges.unpersist()
+    // NOTE: the returned frame keeps the final round's cache until the
+    // caller's action evicts it (LRU) — the result IS that cached state.
     labels.select(col("v").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Production composition: component closure over MinHash-LSH candidate
+    * pairs. Unlike [[dropNearDuplicatesCC]]'s exact-Jaccard pair source,
+    * LSH candidacy does NOT depend on shingle document frequency, so LARGE
+    * duplicate clusters (boilerplate pages copied thousands of times — the
+    * primary web-dedup target, where every shingle's df equals the cluster
+    * size and a df-cap would hide them) are still found and collapsed to one
+    * representative. Not SQL-oracle-able (hash-dependent); recall is
+    * spec-tested with planted clusters. */
+  def dropNearDuplicatesCCLsh(documents: DataFrame, threshold: Double = 0.8,
+                              ngram: Int = 3): DataFrame = {
+    val comps = connectedComponents(minHashNearDuplicates(documents, threshold, ngram = ngram))
+    val losers = comps.where(col("doc_id") =!= col("component")).select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Component-closure dedup over exact n-gram Jaccard pairs: every document
@@ -182,10 +202,16 @@ object Dedup {
     * self-join — without it, one high-frequency shingle creates an O(df²)
     * bucket (a full-corpus quadratic blowup on a skewed key at web scale).
     * Standard in web-dedup pipelines: ultra-common shingles carry no
-    * near-duplicate signal. The pairs that remain are scored by their
-    * surviving shared shingles, so true near-dups (which share many RARE
-    * shingles) keep their candidacy; the Jaccard itself stays exact over the
-    * full shingle sets. The cap must be mirrored in any comparison oracle.
+    * near-duplicate signal FOR SMALL CLUSTERS; the Jaccard itself stays
+    * exact over the full shingle sets. The cap must be mirrored in any
+    * comparison oracle.
+    *
+    * KNOWN LIMIT (by construction): a duplicate CLUSTER larger than
+    * `maxDocFreq` has NO rare shingles — every shared shingle's df equals
+    * the cluster size — so this path generates no candidates for it. That
+    * regime belongs to exact dedup (identical copies) and to the
+    * MinHash-LSH path, whose banding is df-independent
+    * ([[dropNearDuplicatesCCLsh]] is the production compose for it).
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Int = 100): DataFrame = {
@@ -198,11 +224,12 @@ object Dedup {
     val keep = inv.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq).select(col("g"))
     val capped = inv.join(keep, Seq("g"), "left_semi")
-    // inverted index join: pairs sharing >=1 surviving shingle
+    // inverted index join: pairs sharing >=1 surviving shingle (deduped;
+    // the Jaccard below is recomputed exactly from the full shingle sets)
     val pairs = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common_rare"))
+      .distinct()
     val sizes = sh.select(col("doc_id"), col("sh"))
     pairs
       .join(sizes.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))

@@ -56,6 +56,8 @@ object Similarity {
     * `bits/numBands` sign bits each — the embedding analog of the SimHash
     * pigeonhole chunks. Returns an array for posexplode. */
   private[functions] def rhpBandKeys(sig: Column, bits: Int, numBands: Int): Column = {
+    require(numBands >= 1 && bits % numBands == 0 && bits / numBands < 64,
+      s"bits=$bits must divide evenly into numBands=$numBands chunks of < 64 bits")
     val rowsPerBand = bits / numBands
     val mask = (1L << rowsPerBand) - 1
     array((0 until numBands).map { b =>

@@ -402,6 +402,12 @@ case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]
         if (!used(j) && cos(j) > bestV) { best = j; bestV = cos(j) }
         j += 1
       }
+      if (best < 0) {
+        // all remaining scores NaN (e.g. a NaN embedding component): assign
+        // deterministically by index rather than failing the task
+        var j2 = 0
+        while (best < 0 && j2 < k) { if (!used(j2)) best = j2; j2 += 1 }
+      }
       used(best) = true
       picked(p) = best
       p += 1

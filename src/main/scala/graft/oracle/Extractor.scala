@@ -530,21 +530,23 @@ object Extractor {
     var i = start + 1
     val n = body.length
     val plainCtx = if (ctx.annotate) ctx.copy(annotate = false) else ctx
-    // (isParagraph, emitted spans, plain text contribution)
-    val children = ArrayBuffer.empty[(Boolean, Seq[Span], String)]
+    // paragraph children fold ONCE (plain — needed for the value and the
+    // collapse case either way); the annotated rendering is produced lazily
+    // only when the container branch actually emits child spans.
+    // (isParagraph, bodyIdx of a paragraph child, plain spans, plain text)
+    val children = ArrayBuffer.empty[(Boolean, Int, Seq[Span], String)]
     var nTables = 0
     var closed = false
     while (i < n && !closed) {
       body(i).kind match {
         case Kinds.SdtEnd => closed = true; i += 1
         case Kinds.P =>
-          val sp = paragraphSpan(body(i), ctx)
-          val plain = if (ctx.annotate) paragraphSpan(body(i), plainCtx).text else sp.text
-          children += ((true, Seq(sp), plain)); i += 1
+          val spPlain = paragraphSpan(body(i), plainCtx)
+          children += ((true, i, Seq(spPlain), spPlain.text)); i += 1
         case Kinds.Tbl =>
           val (spans, label, next) = parseTable(body, i, ctx)
           nTables += 1
-          children += ((false, spans, label)); i = next
+          children += ((false, -1, spans, label)); i = next
         case Kinds.Sdt =>
           // nested SDT blocks are parsed (to consume their extent) and then
           // DROPPED — the reference maps non-Paragraph/Table children to null
@@ -584,19 +586,26 @@ object Extractor {
 
     val nParas = children.count(_._1)
     if (nParas == 1 && nTables == 0) {
-      val (_, spans, plain) = children.find(_._1).get
+      val (_, _, spans, plain) = children.find(_._1).get
       val sp0 = spans.head
       val sp = if (ctx.annotate) sp0.copy(text = bracket(plain)) else sp0
       (Seq(sp), plain, i)
     } else {
-      val value = children.iterator.map(_._3).filter(_.strip().nonEmpty).mkString(" ")
+      val value = children.iterator.map(_._4).filter(_.strip().nonEmpty).mkString(" ")
       // media_ref addressing channel keeps id > tag > alias (graft's stable
       // mutator key; the reference keeps all three on ContentControlProperties)
       val ident = Seq(attrs.get("id"), attrs.get("tag"), attrs.get("alias"))
         .flatten.find(_.nonEmpty).getOrElse("")
       val headText = if (ctx.annotate) bracket(value) else value
       val head = Span(Kinds.ContentControl, headText, s"$sdtType:$ident", -1)
-      (head +: children.flatMap(_._2).toSeq, value, i)
+      // container children carry their ANNOTATED renderings (the
+      // GetAllTextWithMetadata recursion); paragraph children re-fold with
+      // the annotating context only here
+      val childSpans = children.iterator.flatMap {
+        case (true, pIdx, _, _) if ctx.annotate => Seq(paragraphSpan(body(pIdx), ctx))
+        case (_, _, spans, _) => spans
+      }.toSeq
+      (head +: childSpans, value, i)
     }
   }
 }

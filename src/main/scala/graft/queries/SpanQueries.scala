@@ -34,6 +34,19 @@ object SpanQueries {
       .select(col("doc_id"), col("span.kind").as("kind"), col("span.text").as("text"),
         col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
 
+  /** Flatten for LIVE extraction output whose `spans` column is a HEAVY
+    * expression (extract_spans and friends): plain posexplode triggers
+    * InferFiltersFromGenerate, whose size()/isnotnull predicates sink below
+    * the project and re-evaluate the expression 3-5x per row (PLANS.md).
+    * posexplode_outer infers no filters, and the null/empty rows (the
+    * quarantine surface) are dropped AFTER the Generate by filtering the
+    * GENERATED pos column, which cannot be pushed down. */
+  def flattenSpansOnce(extracted: DataFrame): DataFrame =
+    extracted.select(col("doc_id"), posexplode_outer(col("spans")).as(Seq("pos", "span")))
+      .where(col("pos").isNotNull)
+      .select(col("doc_id"), col("span.kind").as("kind"), col("span.text").as("text"),
+        col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
+
   // ------------------------------------------------------------------- A3
 
   /** `GetAllText()` (`TreeQueryExtensions.cs:87-102`): newline-join of span

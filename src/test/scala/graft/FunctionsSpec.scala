@@ -114,6 +114,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("LSH-based CC dedup finds clusters LARGER than any df-cap (the boilerplate case)") {
+    // 30 near-copies of one page: every shared shingle has df≈30, so an
+    // exact-Jaccard path capped at maxDocFreq < 30 would see NO candidates;
+    // MinHash banding is df-independent and must still collapse the cluster
+    val cluster = (0L until 30L).map(i => i -> (base + s" trailing marker $i"))
+    val lone = 100L -> "entirely unrelated content with its own words and nothing shared"
+    val df = docsDf((cluster :+ lone): _*)
+    val capped = Dedup.dropNearDuplicatesCC(df, 0.5, maxDocFreq = 10)
+    assert(capped.count() == 31) // documented limit: cap hides the big cluster
+    val kept = Dedup.dropNearDuplicatesCCLsh(df, 0.5).collect().map(_.getLong(0))
+    assert(kept.length < 31 && kept.contains(100L) && kept.contains(0L))
+  }
+
   private def embDf(rows: (Long, Seq[Float])*) = {
     val schema = StructType(Seq(StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
     spark.createDataFrame(

@@ -153,6 +153,14 @@ class SparkExtractSpec extends AnyFunSuite {
     assert(evals == 1, s"extract_spans appears $evals times:\n${plan.take(2000)}")
   }
 
+  test("x6 auto-routing plan: one extract_spans per fused tier, no inferred-filter re-eval") {
+    Fixtures.ensure(spark)
+    val plan = SparkEntry.queries("x6_extract_auto")(spark, "")
+      .queryExecution.executedPlan.toString
+    val evals = "extract_spans\\(".r.findAllIn(plan).length
+    assert(evals == 2, s"extract_spans appears $evals times (want 2: small + medium tier):\n${plan.take(3000)}")
+  }
+
   test("extraction is deterministic and idempotent across partitionings") {
     import spark.implicits._
     val raw = corpus(120)
