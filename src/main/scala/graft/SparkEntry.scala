@@ -421,10 +421,14 @@ object SparkEntry {
          |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})
          |WHERE contains(u.text, 'shopping') OR contains(u.text, 'Shopping')""".stripMargin,
     "mut_set_cc" ->
-      s"""SELECT doc_id, u.kind AS kind,
-         |  CASE WHEN split_part(u.media_ref, ':', 2) = '1002' THEN 'REDACTED' ELSE u.text END AS text,
+      s"""WITH m AS (SELECT doc_id, spans, list_min(list_transform(list_filter(spans,
+         |    s -> s.kind = 'content_control' AND split_part(s.media_ref, ':', 2) = '1002'),
+         |    s -> s."offset")) AS m_off FROM ${fixturesSql("docs")})
+         |SELECT doc_id, u.kind AS kind,
+         |  CASE WHEN u.kind = 'content_control' AND split_part(u.media_ref, ':', 2) = '1002'
+         |       AND u."offset" = m_off THEN 'REDACTED' ELSE u.text END AS text,
          |  u.media_ref AS media_ref, u."offset" AS "offset"
-         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("docs")})
+         |FROM (SELECT doc_id, m_off, UNNEST(spans) AS u FROM m)
          |WHERE u.kind = 'content_control'""".stripMargin,
     "mut_remove_cc" ->
       s"""SELECT doc_id, e.kind AS kind, e.text AS text, e.media_ref AS media_ref,

@@ -13,15 +13,25 @@ object Mutators {
   private def span(kind: Column, text: Column, mediaRef: Column, offset: Column): Column =
     struct(kind.as("kind"), text.as("text"), mediaRef.as("media_ref"), offset.as("offset"))
 
-  /** `SetContentControlValueByTag` (`ContentControlExtensions.cs:97-153`):
-    * replace the value of every content control whose identifier (the part
-    * after `type:` in media_ref) equals `ident`. */
-  def setContentControlValue(docs: DataFrame, ident: String, value: String): DataFrame =
-    docs.select(col("doc_id"), transform(col("spans"), s =>
-      when(s.getField("kind") === "content_control" &&
-           substring_index(s.getField("media_ref"), ":", -1) === ident,
-        span(s.getField("kind"), lit(value), s.getField("media_ref"), s.getField("offset")))
-      .otherwise(s)).as("spans"))
+  /** `SetContentControlValueByTag` (`ContentControlExtensions.cs:97-122`):
+    * replace the value of the FIRST content control (document order) whose
+    * identifier (the part after `type:` in media_ref) equals `ident` — the
+    * reference resolves the target via `FindAll(...).FirstOrDefault()`
+    * (`:40-47`), so later same-identifier controls are untouched. Per-row
+    * HOFs: find the first matching offset, rewrite only that span. */
+  def setContentControlValue(docs: DataFrame, ident: String, value: String): DataFrame = {
+    def isMatch(s: Column): Column =
+      s.getField("kind") === "content_control" &&
+        substring_index(s.getField("media_ref"), ":", -1) === ident
+    docs
+      .select(col("doc_id"), col("spans"),
+        array_min(transform(filter(col("spans"), isMatch(_)),
+          s => s.getField("offset"))).as("m_off"))
+      .select(col("doc_id"), transform(col("spans"), s =>
+        when(isMatch(s) && s.getField("offset") === col("m_off"),
+          span(s.getField("kind"), lit(value), s.getField("media_ref"), s.getField("offset")))
+        .otherwise(s)).as("spans"))
+  }
 
   /** `RemoveContentControlAll` keep-text semantics
     * (`ContentControlExtensions.cs:187-289`): drop the container spans, keep

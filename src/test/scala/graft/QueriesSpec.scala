@@ -126,6 +126,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(diff.count(!_.getBoolean(1)) == changedDocs.size)
   }
 
+  test("setContentControlValue updates only the FIRST matching control (FirstOrDefault semantics)") {
+    import spark.implicits._
+    val docs = Seq(Doc("a", Seq(
+      Span("content_control", "v1", "richtext:77", 0),
+      Span("paragraph", "p", null, 1),
+      Span("content_control", "v2", "richtext:77", 2)))).toDS().toDF()
+    val out = Mutators.setContentControlValue(docs, "77", "NEW").collect().head
+      .getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
+    assert(out == Seq("NEW", "p", "v2"))
+  }
+
   test("removeContentControls drops containers and re-densifies offsets") {
     val out = Mutators.removeContentControls(docsDf).collect()
     out.foreach { r =>
