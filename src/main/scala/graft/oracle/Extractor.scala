@@ -160,8 +160,15 @@ object Extractor {
     out.toSeq
   }
 
-  private def reindex(spans: Seq[Span]): Seq[Span] =
-    spans.zipWithIndex.map { case (s, idx) => s.copy(offset = idx) }
+  /** Re-densify offsets 0..n-1 without per-span tuple allocation (hot path:
+    * runs once per document over every output span). */
+  private def reindex(spans: Seq[Span]): Seq[Span] = {
+    val out = new Array[Span](spans.length)
+    var i = 0
+    val it = spans.iterator
+    while (it.hasNext) { out(i) = it.next().copy(offset = i); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 
   private[graft] def buildCtx(body: Seq[RawSpan], meta: Map[String, String]): Ctx = {
     val styles = body.iterator.filter(_.kind == Kinds.StyleDef).map { s =>
@@ -173,7 +180,12 @@ object Extractor {
       val a = Grammar.parseAttrs(s.text)
       a.getOrElse("id", "") -> a.getOrElse("url", "")
     }.toMap
-    Ctx(styles, rels, meta.map { case (k, v) => k.toLowerCase -> v })
+    // meta keys are usually already lowercase (String.toLowerCase returns
+    // `this` when unchanged): skip the per-document map rebuild then
+    val lowerMeta =
+      if (meta.forall(kv => kv._1.toLowerCase eq kv._1)) meta
+      else meta.map { case (k, v) => k.toLowerCase -> v }
+    Ctx(styles, rels, lowerMeta)
   }
 
   private def safeInt(s: String): Option[Int] =
@@ -285,11 +297,15 @@ object Extractor {
     * CHARACTER RANGES — no per-token substring allocation (hot path).
     */
   private[graft] def foldPayload(payload: String, from: Int, ctx: Ctx): String = {
-    val sb = new java.lang.StringBuilder
+    // pre-sized to the payload remainder: output length is bounded by it,
+    // so the builder never pays growth copies
+    val sb = new java.lang.StringBuilder(math.max(payload.length - from, 16))
     var inField = false
     var hasCode = false // the analog of `currentFieldCode != null`
-    val instr = new java.lang.StringBuilder
-    val result = new java.lang.StringBuilder
+    // field buffers allocated lazily: most paragraphs contain no fields, and
+    // this fold is the per-span hot path (allocation-bound, BASELINE.md)
+    var instr: java.lang.StringBuilder = null
+    var result: java.lang.StringBuilder = null
     @inline def sink: java.lang.StringBuilder = if (inField && hasCode) result else sb
     @inline def is(tok: String, s: Int, e: Int, kw: String): Boolean =
       e - s == kw.length && tok.regionMatches(s, kw, 0, kw.length)
@@ -305,7 +321,10 @@ object Extractor {
         if (e > s) { // empty segments skipped
           if (is(payload, s, e, "fldBegin")) {
             inField = true; hasCode = false
-            instr.setLength(0); result.setLength(0)
+            if (instr == null) {
+              instr = new java.lang.StringBuilder
+              result = new java.lang.StringBuilder
+            } else { instr.setLength(0); result.setLength(0) }
           } else if (is(payload, s, e, "fldSep")) {
             // transition marker only (`:548-551`)
           } else if (is(payload, s, e, "fldEnd")) {
