@@ -213,6 +213,12 @@ object SparkEntry {
       // exactly one extract_spans per row.
       SpanQueries.flattenSpansOnce(
         Extract.runExpr(Fixtures.raw(s)).select(col("doc_id"), col("spans")))),
+    "x7_annotated_expr" -> ((s, _) =>
+      // the annotated FUSED path through the same single-eval flatten —
+      // x4 gates the typed annotated path; this gates the expression form
+      SpanQueries.flattenSpansOnce(
+        Extract.runExpr(Fixtures.raw(s), annotate = true)
+          .select(col("doc_id"), col("spans")))),
     "x6_extract_auto" -> ((s, _) => {
       import s.implicits._
       Fixtures.ensure(s)
@@ -412,6 +418,9 @@ object SparkEntry {
     "x6_extract_auto" ->
       s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
          |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("expected_docs")})""".stripMargin,
+    "x7_annotated_expr" ->
+      s"""SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref, u."offset" AS "offset"
+         |FROM (SELECT doc_id, UNNEST(spans) AS u FROM ${fixturesSql("annotated_docs")})""".stripMargin,
     "q_depth" -> depthSql,
     "q_distinct_texts" ->
       s"""SELECT u.kind AS kind, count(DISTINCT u.text) AS n_texts
