@@ -161,6 +161,51 @@ class SparkExtractSpec extends AnyFunSuite {
     assert(evals == 2, s"extract_spans appears $evals times (want 2: small + medium tier):\n${plan.take(3000)}")
   }
 
+  test("chunker fuzz: random nested structures chunk-invariant at random sizes") {
+    import graft.model.{Kinds, RawSpan}
+    val r = new java.util.Random(777)
+    def randBody(depthBudget: Int, spans: scala.collection.mutable.ArrayBuffer[RawSpan]): Unit = {
+      val n = 1 + r.nextInt(6)
+      (0 until n).foreach { _ =>
+        r.nextInt(if (depthBudget > 0) 4 else 2) match {
+          case 0 => spans += RawSpan(Kinds.P, s"run:w${r.nextInt(100)}", null, spans.length)
+          case 1 => spans += RawSpan(Kinds.P,
+            s"@style=Heading${1 + r.nextInt(9)}|run:h${r.nextInt(100)}", null, spans.length)
+          case 2 => // table with 1-2 rows x 1-2 cells, possibly nested content
+            spans += RawSpan(Kinds.Tbl, "", null, spans.length)
+            (0 until 1 + r.nextInt(2)).foreach { _ =>
+              spans += RawSpan(Kinds.Tr, "", null, spans.length)
+              (0 until 1 + r.nextInt(2)).foreach { _ =>
+                spans += RawSpan(Kinds.Tc, "", null, spans.length)
+                spans += RawSpan(Kinds.P, s"run:c${r.nextInt(100)}", null, spans.length)
+                spans += RawSpan(Kinds.TcEnd, "", null, spans.length)
+              }
+              spans += RawSpan(Kinds.TrEnd, "", null, spans.length)
+            }
+            spans += RawSpan(Kinds.TblEnd, "", null, spans.length)
+          case 3 => // sdt, possibly nesting more structure
+            spans += RawSpan(Kinds.Sdt, s"@type=richtext;@id=${r.nextInt(100)}", null, spans.length)
+            randBody(depthBudget - 1, spans)
+            spans += RawSpan(Kinds.SdtEnd, "", null, spans.length)
+        }
+      }
+    }
+    (0 until 60).foreach { docIdx =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[RawSpan]
+      randBody(3, buf)
+      val doc = graft.model.RawDoc(s"fuzz-$docIdx", buf.toIndexedSeq, Map("title" -> "T"))
+      val whole = Extractor.extract(doc)
+      Seq(1 + r.nextInt(4), 8 + r.nextInt(20)).foreach { maxSpans =>
+        val chunks = Chunker.split(doc, maxSpans)
+        val spans = chunks.flatMap { ch =>
+          val ctx = Extractor.buildCtx(ch.ctxSpans ++ ch.spans, ch.meta)
+          Extractor.walk(ch.spans.sortBy(_.offset), ctx)
+        }.zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+        assert(spans == whole.spans, s"fuzz-$docIdx maxSpans=$maxSpans")
+      }
+    }
+  }
+
   test("extraction is deterministic and idempotent across partitionings") {
     import spark.implicits._
     val raw = corpus(120)
