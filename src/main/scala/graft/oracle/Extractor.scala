@@ -171,10 +171,13 @@ object Extractor {
   }
 
   private[graft] def buildCtx(body: Seq[RawSpan], meta: Map[String, String]): Ctx = {
+    // style cache keys are CASE-SENSITIVE: the reference's StyleCache is a
+    // default-comparer Dictionary (`ParsingContext.cs:14,54-55`) — only the
+    // "Heading<k>" NAME checks are OrdinalIgnoreCase, never the table lookup
     val styles = body.iterator.filter(_.kind == Kinds.StyleDef).map { s =>
       val a = Grammar.parseAttrs(s.text)
       val id = a.getOrElse("id", "")
-      id.toLowerCase -> (a.get("outline").flatMap(safeInt), a.get("basedOn"))
+      id -> (a.get("outline").flatMap(safeInt), a.get("basedOn"))
     }.toMap
     val rels = body.iterator.filter(_.kind == Kinds.Rel).map { s =>
       val a = Grammar.parseAttrs(s.text)
@@ -254,7 +257,7 @@ object Extractor {
     if (styleId.isEmpty) return 0
     val byName = headingNameLevel(styleId)
     if (byName > 0) return byName
-    ctx.styles.get(styleId.toLowerCase) match {
+    ctx.styles.get(styleId) match {
       case Some((Some(outline), _)) => return math.min(outline + 1, 9)
       case Some((None, basedOn)) =>
         val hop = basedOn.map(headingNameLevel).getOrElse(0)
@@ -399,39 +402,39 @@ object Extractor {
   private[graft] def foldRuns(tokens: Seq[String], ctx: Ctx): String =
     foldPayload(tokens.mkString("|"), 0, ctx)
 
-  /** DOCPROPERTY field-code parse (`WordDocumentTreeParser.cs:644-675`):
-    * whitespace-split; quoted property names re-joined; `\*` switch and its
-    * argument (MERGEFORMAT) skipped. Returns the property name, or None when
-    * the field is not a DOCPROPERTY field.
+  /** DOCPROPERTY field-code parse — faithful to `IsDocPropertyField` +
+    * `ParseDocPropertyField` (`WordDocumentTreeParser.cs:630-675`):
+    *  - detection is a PREFIX test on the trimmed code
+    *    (`StartsWith("DOCPROPERTY", OrdinalIgnoreCase)`, `:636-638`), not a
+    *    whole-token compare;
+    *  - the name is `parts(1)` of the space/tab split VERBATIM — the
+    *    reference never skips `\*` switches before the name (`:652-670`);
+    *  - quoted names join parts from index 1 until a part ends with `"`,
+    *    then strip ALL leading/trailing quotes (C# `Trim('"')`);
+    *  - fewer than 2 parts → the empty property name (`:649-651`), which
+    *    resolves to nothing and falls back to the buffered result.
+    * Returns Some(name) for a DOCPROPERTY field, None otherwise.
     */
   private[graft] def parseDocProperty(code: String): Option[String] = {
-    val parts = code.trim.split("[ \t]+").filter(_.nonEmpty)
-    if (parts.isEmpty || !parts(0).equalsIgnoreCase("DOCPROPERTY")) return None
-    var i = 1
-    val name = new StringBuilder
-    var done = false
-    while (i < parts.length && !done) {
-      val p = parts(i)
-      if (p == "\\*") { i += 2 } // skip switch + argument
-      else if (name.isEmpty) {
-        if (p.startsWith("\"")) {
-          var cur = p.substring(1)
-          var closed = cur.endsWith("\"") && cur.length >= 1
-          if (closed) { name ++= cur.dropRight(1); done = true; i += 1 }
-          else {
-            name ++= cur; i += 1
-            while (i < parts.length && !closed) {
-              val q = parts(i)
-              if (q.endsWith("\"")) { name += ' '; name ++= q.dropRight(1); closed = true }
-              else { name += ' '; name ++= q }
-              i += 1
-            }
-            done = true
-          }
-        } else { name ++= p; done = true; i += 1 }
-      } else i += 1
-    }
-    if (name.isEmpty) None else Some(name.toString)
+    val trimmed = code.trim
+    if (trimmed.length < 11 || !trimmed.regionMatches(true, 0, "DOCPROPERTY", 0, 11))
+      return None
+    val parts = trimmed.split("[ \t]+").filter(_.nonEmpty)
+    if (parts.length < 2) return Some("")
+    val joined =
+      if (parts(1).startsWith("\"")) {
+        val buf = new StringBuilder
+        var i = 1
+        var done = false
+        while (i < parts.length && !done) {
+          if (buf.nonEmpty) buf += ' '
+          buf ++= parts(i)
+          done = parts(i).endsWith("\"") // incl. a lone '"' token, as in the ref
+          i += 1
+        }
+        buf.toString
+      } else parts(1)
+    Some(joined.dropWhile(_ == '"').reverse.dropWhile(_ == '"').reverse)
   }
 
   // --------------------------------------------------------------- drawing

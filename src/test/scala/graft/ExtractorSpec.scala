@@ -53,6 +53,25 @@ class ExtractorSpec extends AnyFunSuite {
     assert(texts(d) == Seq("cached"))
   }
 
+  test("DOCPROPERTY detection is a prefix test; name is parts(1) verbatim (:630-675)") {
+    // prefix match, not whole-token: 'DOCPROPERTYx foo' IS a property field
+    assert(Extractor.parseDocProperty("DOCPROPERTYx foo") == Some("foo"))
+    // no switch-skipping before the name: parts(1) wins even if it is '\*'
+    assert(Extractor.parseDocProperty("DOCPROPERTY \\* MERGEFORMAT Title") == Some("\\*"))
+    // fewer than 2 parts -> the empty property name (resolves to nothing)
+    assert(Extractor.parseDocProperty("DOCPROPERTY") == Some(""))
+    assert(Extractor.parseDocProperty("PAGE") == None)
+    assert(Extractor.parseDocProperty("docproperty Author") == Some("Author"))
+  }
+
+  test("style-table lookup is case-sensitive (ParsingContext Dictionary semantics)") {
+    val d = Extractor.extract(doc(
+      ("style_def", "@id=SectionTitle;@outline=1", null),
+      ("p", "@style=SectionTitle|run:A", null),
+      ("p", "@style=sectiontitle|run:B", null))) // case mismatch -> lookup miss
+    assert(kinds(d) == Seq("heading2", "paragraph"))
+  }
+
   test("quoted property name joined across spaces (:644-675)") {
     val d = Extractor.extract(docMeta(Map("project code" -> "PC-7"),
       ("p", "fldBegin|instr:DOCPROPERTY \"Project Code\"|fldSep|run:x|fldEnd", null)))
