@@ -491,6 +491,23 @@ object SparkEntry {
         |  + length(trim(text))
         |  - length(regexp_replace(trim(text), '[^A-Za-z0-9]', '', 'g'))
         |END AS BIGINT) AS n_subwords FROM documents""".stripMargin,
+    "ops_lineage" ->
+      // batches are a pure function of the sorted raw part-file names
+      // (Lineage.inputBatches: sorted files round-robin'd over numBatches=4);
+      // good-doc and span counts equal the sequential-oracle surface
+      s"""WITH f AS (SELECT DISTINCT filename
+         |  FROM read_parquet('${Fixtures.Dir}/raw_docs.parquet/*.parquet', filename=true)),
+         |fo AS (SELECT filename,
+         |  CAST((row_number() OVER (ORDER BY filename) - 1) % 4 AS INTEGER) AS batch_id FROM f),
+         |r AS (SELECT doc_id, filename
+         |  FROM read_parquet('${Fixtures.Dir}/raw_docs.parquet/*.parquet', filename=true)),
+         |g AS (SELECT r.doc_id AS doc_id, fo.batch_id AS batch_id FROM r JOIN fo USING (filename)),
+         |e AS (SELECT doc_id, len(spans) AS n FROM ${fixturesSql("expected_docs")})
+         |SELECT g.batch_id AS batch_id,
+         |  CAST(count(e.doc_id) AS BIGINT) AS doc_count,
+         |  CAST(coalesce(sum(e.n), 0) AS BIGINT) AS span_count,
+         |  CAST(count(*) - count(e.doc_id) AS BIGINT) AS error_count
+         |FROM g LEFT JOIN e ON g.doc_id = e.doc_id GROUP BY 1""".stripMargin,
     "a2_style_dist" ->
       s"""SELECT style, count(*) AS n FROM (
          |  SELECT regexp_extract(u.text, '@style=([^;|]+)', 1) AS style
