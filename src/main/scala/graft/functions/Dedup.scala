@@ -79,12 +79,16 @@ object Dedup {
         .select(col("v"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      // shortcut (pointer jumping): follow the label one more hop
+      // shortcut (pointer jumping): follow the label one more hop.
+      // localCheckpoint (eager) BOTH caches the round's result AND truncates
+      // the logical plan — without truncation the plan nests ~4x per round
+      // (next references propagated twice, propagated references labels
+      // twice) and driver-side analysis goes exponential with round count.
       val hop = propagated.select(col("v").as("label"), col("label").as("ll"))
       val next = propagated.join(hop, Seq("label"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.select(col("v"), col("label").as("old")), "v")
         .where(col("label") =!= col("old")).count()
       propagated.unpersist()
@@ -93,8 +97,9 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    // NOTE: the returned frame keeps the final round's cache until the
-    // caller's action evicts it (LRU) — the result IS that cached state.
+    // The result rides the final round's local checkpoint: its plan is
+    // truncated (cheap to reuse) and its blocks spill to disk under memory
+    // pressure; call `.unpersist()` on it once fully consumed.
     labels.select(col("v").as("doc_id"), col("label").as("component"))
   }
 

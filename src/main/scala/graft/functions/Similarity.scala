@@ -112,11 +112,16 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       L2NormExpr(col("embedding")).as("cn"),
       element_at(NearestCentroidsExpr(col("embedding"), cents, 1), 1).as("list_id"))
+    // posexplode_outer + generated-pos filter: a plain explode's inferred
+    // size()/isnotnull filters would sink below the project and re-evaluate
+    // NearestCentroidsExpr per reference (the PLANS.md pitfall)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         L2NormExpr(col("embedding")).as("qn"),
         NearestCentroidsExpr(col("embedding"), cents, nProbe).as("probes"))
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(col("probes")).as("list_id"))
+        posexplode_outer(col("probes")).as(Seq("p_idx", "list_id")))
+      .where(col("p_idx").isNotNull)
+      .drop("p_idx")
     val scored = q.join(c, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))

@@ -114,17 +114,26 @@ object MinHashSigExpr {
 }
 
 /** Shared tokenizer for the fused text sketches: lowercase + whitespace
-  * split — the Scala mirror of `TextAnalysis.normalized` + split(' '). */
+  * split — the Scala mirror of `TextAnalysis.normalized` + split(' ').
+  *
+  * Whitespace class is pinned to RE2's `\s` = {space, \t, \n, \f, \r} so the
+  * ORACLE-GATED consumers (ShingleHashExpr → d_ngram_jaccard/d_cc_*) split
+  * identically to the DuckDB side's `regexp_replace(..., '\s+', ...)`.
+  * `Character.isWhitespace` would additionally split on U+1680/U+2000-200A
+  * and silently diverge from the gate on multilingual text. */
 object SketchTokens {
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   def tokenize(text: String): Array[String] = {
     val lower = text.toLowerCase
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = lower.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(lower.charAt(i))) i += 1
+      while (i < n && isWs(lower.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(lower.charAt(i))) i += 1
+      while (i < n && !isWs(lower.charAt(i))) i += 1
       if (i > start) out += lower.substring(start, i)
     }
     out.toArray
