@@ -98,6 +98,14 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.except(windowed).isEmpty && windowed.except(got).isEmpty)
   }
 
+  test("scan pruning locked in: q_count_by_kind reads ONLY spans.kind from parquet") {
+    Fixtures.ensure(spark)
+    val plan = SparkEntry.queries("q_count_by_kind")(spark, "")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<spans:array<struct<kind:string>>>"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("span_nav queries plan with NO Exchange (zero shuffle)") {
     Seq(SpanQueries.headingPaths(docsDf), SpanQueries.siblings(docsDf),
         SpanQueries.spanNav(docsDf)).foreach { df =>
