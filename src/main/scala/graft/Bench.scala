@@ -15,14 +15,19 @@ object Bench {
   val BenchOutPath = "/root/repo/data/bench_out.parquet"
 
   def ensureBenchCorpus(spark: SparkSession, nDocs: Long): Unit = {
-    val marker = new java.io.File(s"$BenchRawPath/_GRAFT_N$nDocs")
+    val marker = new java.io.File(s"$BenchRawPath/_GRAFT_N${nDocs}_v2")
     if (marker.exists()) return
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
     // 4 files per max-parallelism slot: balanced waves at local[32] (a single
     // straggler file otherwise bounds the one-wave run) and dense waves at
-    // local[8] — the local analog of sizing input splits on a cluster
+    // local[8] — the local analog of sizing input splits on a cluster.
+    // n_spans is materialized + clustered within files so runAuto's tier
+    // filters prune row groups (see Schemas.rawDocsWithN).
     spark.range(nDocs).repartition(128)
       .map(i => graft.corpus.SyntheticCorpus.rawDoc(graft.corpus.SyntheticCorpus.docIdFor(i)))
+      .withColumn("n_spans", size(col("spans")))
+      .sortWithinPartitions("n_spans")
       .write.mode(SaveMode.Overwrite).parquet(BenchRawPath)
     marker.createNewFile()
   }
@@ -45,7 +50,9 @@ object Bench {
           val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath)
           Extract.runExpr(raw).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
         case "auto" =>
-          val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath)
+          // rawDocsWithN: the materialized n_spans makes the tier filters
+          // row-group-prunable (the whole point of runAuto at scale)
+          val raw = spark.read.schema(graft.model.Schemas.rawDocsWithN).parquet(BenchRawPath)
           Extract.runAuto(raw).write.mode(SaveMode.Overwrite).parquet(BenchOutPath)
         case m =>
           val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(BenchRawPath).as[RawDoc]

@@ -28,7 +28,7 @@ object Fixtures {
   val MediaPath = s"$Dir/media.parquet"
   val AnnotatedPath = s"$Dir/annotated_docs.parquet"
   /** bump when generator/extractor semantics change: forces a rebuild */
-  val Version = "v6"
+  val Version = "v7"
   val NumDocs = 1200L
 
   @volatile private var ready = false
@@ -45,7 +45,13 @@ object Fixtures {
     if (!marker.exists()) {
       import spark.implicits._
       val raw = rawCorpus(spark).persist()
-      raw.write.mode(SaveMode.Overwrite).parquet(RawPath)
+      // materialized span count, clustered within files so runAuto's tier
+      // filters prune parquet row groups (min/max stats) instead of
+      // re-scanning the whole table per tier
+      raw.withColumn("n_spans", org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("spans")))
+        .sortWithinPartitions("n_spans")
+        .write.mode(SaveMode.Overwrite).parquet(RawPath)
       // distributed chunked extraction (the skew path under test)
       val extracted = Extract.runChunked(raw, maxSpansPerChunk = 1024)
       Extract.good(extracted).write.mode(SaveMode.Overwrite).parquet(DocsPath)

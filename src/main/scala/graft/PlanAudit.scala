@@ -46,7 +46,7 @@ object PlanAudit {
 
     val exprRate = n / exprSec / 8
     val summary =
-      f"""# PLANS — plan audit & hot-path profile (round 2)
+      f"""# PLANS — plan audit & hot-path profile (round 3)
          |
          |## Hot path: encoder overhead
          |
@@ -96,9 +96,33 @@ object PlanAudit {
       graft.queries.SpanQueries.headingPaths(fx))
     sb ++= explainOf("x5_extract_expr_spans (r01 #2 fix — expect: exactly ONE extract_spans; filter on generated pos)",
       SparkEntry.queries("x5_extract_expr_spans")(spark, ""))
-    sb ++= explainOf("extract_auto tiers (r01 #3 — expect: union of fused scan, fused+RoundRobin exchange of outliers, chunked residual)",
-      Extract.runAuto(spark.read.schema(graft.model.Schemas.rawDocs).parquet(Fixtures.RawPath),
+    sb ++= explainOf("extract_auto tiers (r01 #3 — expect: union of fused scan, fused+RoundRobin exchange of outliers, chunked residual; r02 #5 — n_spans tier filters in PushedFilters on every scan)",
+      Extract.runAuto(spark.read.schema(graft.model.Schemas.rawDocsWithN).parquet(Fixtures.RawPath),
         spreadThreshold = 1024, hugeThreshold = 6000))
+    locally {
+      import org.apache.spark.sql.functions.{coalesce, col, least, min}
+      // one CC round, built exactly as Dedup.connectedComponents builds it
+      // (r02 #1 fix): propagate + two pointer jumps + the convergence flag,
+      // all materialized by a SINGLE action per round (lazy localCheckpoint).
+      val pairs = spark.range(100).selectExpr("id AS a", "id % 7 AS b")
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .union(pairs.select(col("b").as("u"), col("a").as("v"))).distinct()
+      val labels = edges.select(col("u").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
+      val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
+        .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
+      var cur = labels.join(prop, Seq("v"), "left")
+        .select(col("v"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      (0 until 2).foreach { _ =>
+        val hop = cur.select(col("v").as("label"), col("label").as("ll"))
+        cur = cur.join(hop, Seq("label"), "left")
+          .select(col("v"), col("old"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      }
+      sb ++= explainOf("d_cc_components one round (r02 #1 — expect: partial_min below the propagate exchange (the giant-star skew defense: a 10^4-degree hub combines map-side); the jump's self-join subtrees dedup via exchange/subquery reuse; each round is ONE action — the convergence flag `chg` rides in the round's own output and the lazy localCheckpoint materializes inside that count)",
+        cur.select(col("v"), col("label"), (col("label") =!= col("old")).as("chg")))
+    }
     sb ++= explainOf("d_ngram_jaccard with df-cap (r01 #8 — expect: aggregate+semi-join gate before the inverted-index self-join)",
       graft.functions.Dedup.ngramJaccardPairs(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3, 0.5))
@@ -106,7 +130,8 @@ object PlanAudit {
       graft.functions.Similarity.lshTopK(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 5))
-    Files.write(Paths.get("/root/repo/PLANS.md"), sb.toString.getBytes)
+    Files.write(Paths.get("/root/repo/PLANS.md"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(f"AUDIT pure=$pureRate%.0f/s spark_per_core=$sparkRate%.0f/s overhead=${100 * (1 - sparkRate / pureRate)}%.1f%%")
     spark.stop()
   }

@@ -196,6 +196,15 @@ object SparkEntry {
       import s.implicits._
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
+    // the DuckDB-checkable half of m_frames: the frame-sampling GEOMETRY
+    // (frames per media row = ceil(ceil(len/16)/stride)) is payload-
+    // independent even though the per-frame checksums aren't
+    "m_frame_counts" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
+        .groupBy(col("doc_id"), col("media_ref"))
+        .agg(count(lit(1)).as("n_frames"))
+    }),
     "m_resize" -> ((s, _) => {
       import s.implicits._
       Multimodal.resizeImages(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
@@ -569,6 +578,10 @@ object SparkEntry {
          |  greatest(CAST(round(w * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_w,
          |  greatest(CAST(round(h * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_h
          |FROM m""".stripMargin,
+    "m_frame_counts" ->
+      s"""SELECT doc_id, media_ref,
+         |  CAST(ceil(ceil(octet_length(bytes) / 16.0) / 4.0) AS BIGINT) AS n_frames
+         |FROM ${fixturesSql("media")} WHERE octet_length(bytes) > 0""".stripMargin,
     "m_media_join" ->
       s"""SELECT d.doc_id AS doc_id, u.media_ref AS media_ref, u.offset AS offset,
          |  m.content_type AS content_type, m.name AS name

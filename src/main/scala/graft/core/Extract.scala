@@ -103,12 +103,14 @@ object Extract {
     *    intra-document parallelism is now worth its two shuffles because a
     *    single doc exceeds a sensible task.
     *
-    * The routes are filtered subtrees of the same scan, unioned — at fixture
-    * scale the re-scan is noise next to the parse CPU; at 100 TB the raw
-    * table should carry a materialized `n_spans` column so the filters push
-    * down to parquet row-group statistics and each subtree reads only its
-    * rows (the `size(spans)` fallback used here still evaluates correctly,
-    * it just cannot prune row groups).
+    * The routes are filtered subtrees of the same scan, unioned. When the
+    * raw table carries a materialized `n_spans` column (the corpus writers
+    * produce it — [[graft.model.Schemas.rawDocsWithN]]) the tier filters are
+    * plain attribute predicates that push down to parquet row-group
+    * statistics, so the medium/huge subtrees read only the row groups that
+    * contain outlier documents instead of re-scanning the table per tier;
+    * the `size(spans)` fallback (for inputs without the column) still
+    * evaluates correctly, it just cannot prune row groups.
     *
     * Output matches [[runExpr]]/[[runChunked]]: (doc_id, spans, error) with
     * quarantined rows carrying spans = null/empty and the error message.
@@ -119,13 +121,15 @@ object Extract {
     import org.apache.spark.sql.functions.{col, size}
     val spark = raw.sparkSession
     import spark.implicits._
-    val n = size(col("spans"))
-    val small = runExpr(raw.where(n <= spreadThreshold))
+    val n = if (raw.columns.contains("n_spans")) col("n_spans") else size(col("spans"))
+    val rawCols = Seq(col("doc_id"), col("spans")) ++
+      (if (raw.columns.contains("meta")) Seq(col("meta")) else Nil)
+    val small = runExpr(raw.where(n <= spreadThreshold).select(rawCols: _*))
     val medium = runExpr(
-      raw.where(n > spreadThreshold && n <= hugeThreshold)
+      raw.where(n > spreadThreshold && n <= hugeThreshold).select(rawCols: _*)
         .repartition(spark.sparkContext.defaultParallelism))
     val huge = runChunked(
-      raw.where(n > hugeThreshold).as[RawDoc],
+      raw.where(n > hugeThreshold).select(rawCols: _*).as[RawDoc],
       maxSpansPerChunk = spreadThreshold.max(1024))
       .toDF()
     small.unionByName(medium).unionByName(huge)

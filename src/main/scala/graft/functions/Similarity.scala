@@ -65,23 +65,30 @@ object Similarity {
     }: _*)
   }
 
-  /** Deterministic coarse k-means quantizer for [[ivfTopK]]: seeds are the
-    * `nLists` corpus rows with the smallest `xxhash64(vec_id)` (stable under
-    * any partitioning), refined by `iters` Lloyd rounds with cosine
-    * assignment. Each round is ONE distributed aggregate (assign via the
-    * fused [[NearestCentroidsExpr]], per-dimension means via explode +
-    * groupBy); only the nLists × dims centroid matrix — the model, a few KB —
-    * is ever collected to the driver. At 100 TB, train on a `.limit(...)`
-    * sample; the assignment stage is unchanged.
+  /** Deterministic coarse k-means quantizer for [[ivfTopK]]: training runs
+    * on a deterministic sample — the `trainSampleN` corpus rows with the
+    * smallest `xxhash64(vec_id)` (stable under any partitioning or scan
+    * order; planned as a per-partition top-N merge, never a full sort) —
+    * seeded by the first `nLists` rows of that same ordering, refined by
+    * `iters` Lloyd rounds with cosine assignment. Each round is ONE
+    * distributed aggregate over the cached sample (assign via the fused
+    * [[NearestCentroidsExpr]], per-dimension means via explode + groupBy);
+    * only the nLists × dims centroid matrix — the model, a few KB — is ever
+    * collected to the driver. This is the 100 TB shape: quantizer quality
+    * needs only a bounded sample, while [[ivfTopK]]'s ASSIGNMENT stage stays
+    * full-corpus and per-row.
     */
-  def trainCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2): Array[Array[Float]] = {
-    val seedRows = corpus.select(col("vec_id"), col("embedding"))
+  def trainCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2,
+                     trainSampleN: Int = 262144): Array[Array[Float]] = {
+    require(trainSampleN >= nLists, s"trainSampleN=$trainSampleN must be >= nLists=$nLists")
+    val sample = corpus.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-      .limit(nLists).collect()
+      .limit(trainSampleN).persist()
+    val seedRows = sample.limit(nLists).collect()
     var centroids = seedRows.map(_.getSeq[Float](1).toArray)
     val dims = centroids.headOption.map(_.length).getOrElse(0)
     (1 to iters).foreach { _ =>
-      val assigned = corpus.select(
+      val assigned = sample.select(
         element_at(NearestCentroidsExpr(col("embedding"), centroids, 1), 1).as("list_id"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       val means = assigned.groupBy(col("list_id"), col("dim"))
@@ -94,6 +101,7 @@ object Similarity {
       } // lists with no members keep their previous centroid
       centroids = next
     }
+    sample.unpersist()
     centroids
   }
 
@@ -107,8 +115,9 @@ object Similarity {
     * when small), norms per-row before the join.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = trainCentroids(corpus, nLists, iters)
+              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              trainSampleN: Int = 262144): DataFrame = {
+    val cents = trainCentroids(corpus, nLists, iters, trainSampleN)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       L2NormExpr(col("embedding")).as("cn"),
       element_at(NearestCentroidsExpr(col("embedding"), cents, 1), 1).as("list_id"))

@@ -94,6 +94,13 @@ object Schemas {
     StructField("spans", ArrayType(spanStruct, containsNull = false), nullable = false),
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
+  /** Raw corpus WITH the materialized span count: `n_spans` is written by
+    * the corpus writers so [[graft.core.Extract.runAuto]]'s three tier
+    * filters push down to parquet row-group statistics (a `size(spans)`
+    * fallback evaluates correctly but cannot prune row groups). */
+  val rawDocsWithN: StructType = rawDocs.add(
+    StructField("n_spans", IntegerType, nullable = false))
+
   val docs: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
     StructField("spans", ArrayType(spanStruct, containsNull = false), nullable = false)))

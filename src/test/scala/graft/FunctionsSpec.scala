@@ -106,6 +106,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents handles a giant star component without a hot reducer") {
+    import spark.implicits._
+    // one hub vertex paired with 10k spokes: the propagate groupBy sees one
+    // key (the hub) carrying 10k rows — min() partial-aggregates map-side,
+    // so the skewed key combines before the shuffle instead of funneling
+    // 10k rows into one reducer. A long chain rides along to prove the
+    // pointer jumping still converges in O(log d) rounds alongside the star.
+    val star = (1L to 10000L).map(i => (0L, i))
+    val chain = (20000L until 20032L).map(i => (i, i + 1))
+    val pairs = (star ++ chain).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+    val byComponent = comps.groupBy("component").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byComponent == Map(0L -> 10001L, 20000L -> 33L))
+    // the skewed aggregate must partial-aggregate map-side. The loop's own
+    // output plan is a truncated LogicalRDD leaf, so assert on the round's
+    // propagate shape built the same way the loop builds it:
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v"))).distinct()
+    val labels = edges.select(col("u").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
+      .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
+    val plan = prop.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_min"),
+      s"expected map-side partial_min below the exchange in:\n$plan")
+  }
+
   test("dropNearDuplicatesCC keeps one representative per component plus untouched docs") {
     // three copies of base (mutual near-dups) + one unrelated doc
     val df = docsDf(1L -> base, 2L -> base.replace("lazy", "sleepy"),

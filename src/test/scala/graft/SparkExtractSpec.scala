@@ -161,6 +161,18 @@ class SparkExtractSpec extends AnyFunSuite {
     assert(evals == 2, s"extract_spans appears $evals times (want 2: small + medium tier):\n${plan.take(3000)}")
   }
 
+  test("x6 auto-routing tier filters push down to parquet row-group stats via n_spans") {
+    Fixtures.ensure(spark)
+    val raw = spark.read.schema(graft.model.Schemas.rawDocsWithN).parquet(Fixtures.RawPath)
+    val plan = graft.core.Extract.runAuto(raw, spreadThreshold = 1024, hugeThreshold = 6000)
+      .queryExecution.executedPlan.toString
+    // all three tier scans must carry an n_spans predicate in PushedFilters —
+    // a size(spans) fallback filter would evaluate post-scan and re-read the
+    // whole table per tier
+    val pushed = "PushedFilters: \\[[^\\]]*n_spans[^\\]]*\\]".r.findAllIn(plan).length
+    assert(pushed >= 3, s"want n_spans in PushedFilters of all 3 tier scans, got $pushed:\n${plan.take(4000)}")
+  }
+
   test("chunker fuzz: random nested structures chunk-invariant at random sizes") {
     import graft.model.{Kinds, RawSpan}
     val r = new java.util.Random(777)
