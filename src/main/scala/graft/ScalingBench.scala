@@ -23,7 +23,10 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object ScalingBench {
 
-  private val OutPath = "/dev/shm/graft_scaling_out.parquet"
+  /** tmpfs sink; overridable so concurrent fleet JVMs (bench/fleet.sh)
+    * don't clobber each other's output directories. */
+  private val OutPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
+    "/dev/shm/graft_scaling_out.parquet")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -51,13 +54,21 @@ object ScalingBench {
     import spark.implicits._
     val raw = spark.read.schema(graft.model.Schemas.rawDocs).parquet(Bench.BenchRawPath)
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "expr")
+    // sink=noop isolates compute scaling from the tmpfs write path: K
+    // concurrent fleet JVMs writing parquet into the SAME kernel tmpfs
+    // contend on a resource a real cluster never shares (each executor
+    // writes to its own disks / the network), so the parquet sink
+    // understates fleet scaling while noop measures the extraction itself.
+    val sink = sys.env.getOrElse("SPARK_GRAFT_SCALING_SINK", "parquet")
     val t0 = System.nanoTime()
-    (mode match {
+    val out = mode match {
       case "typed" => Extract.run(raw.as[RawDoc]).toDF()
       case _ => Extract.runExpr(raw)
-    }).write.mode(SaveMode.Overwrite).parquet(OutPath)
+    }
+    if (sink == "noop") out.write.mode(SaveMode.Overwrite).format("noop").save()
+    else out.write.mode(SaveMode.Overwrite).parquet(OutPath)
     val sec = (System.nanoTime() - t0) / 1e9
-    val n = spark.read.parquet(OutPath).count()
+    val n = if (sink == "noop") raw.count() else spark.read.parquet(OutPath).count()
     (sec, n)
   }
 
@@ -82,9 +93,31 @@ object ScalingBench {
       val rounds = args(2).toInt
       withSession(cores) { s =>
         job(s); job(s) // JIT/codegen warmup
-        val times = (1 to rounds).map(_ => job(s))
-        val docs = times.head._2
-        println(s"""GRAFT_TIMES {"cores":$cores,"docs":$docs,"times":[${times.map(t => f"${t._1}%.3f").mkString(",")}]}""")
+        // fleet start barrier (SPARK_GRAFT_BARRIER="dir:k"): wait until all
+        // k JVMs have finished warmup before ANY timed round starts, so the
+        // rounds being compared actually contend with each other (warmup
+        // durations vary 2-4x and would otherwise stagger the fleet)
+        sys.env.get("SPARK_GRAFT_BARRIER").foreach { spec =>
+          val Array(dir, kStr) = spec.split(':')
+          val k = kStr.toInt
+          val d = new java.io.File(dir)
+          d.mkdirs()
+          new java.io.File(d, s"ready-${ProcessHandle.current().pid()}").createNewFile()
+          while (d.listFiles().count(_.getName.startsWith("ready-")) < k)
+            Thread.sleep(100)
+        }
+        // per-round epoch intervals let the fleet harness verify that the
+        // rounds it compares actually ran CONCURRENTLY across JVMs
+        // (staggered starts otherwise let late rounds run nearly alone)
+        val rows = (1 to rounds).map { _ =>
+          val start = System.currentTimeMillis() / 1000.0
+          val (t, n) = job(s)
+          (t, n, start, System.currentTimeMillis() / 1000.0)
+        }
+        val docs = rows.head._2
+        val times = rows.map(r => f"${r._1}%.3f").mkString(",")
+        val marks = rows.map(r => f"[${r._3}%.1f,${r._4}%.1f]").mkString(",")
+        println(s"""GRAFT_TIMES {"cores":$cores,"docs":$docs,"times":[$times],"marks":[$marks]}""")
       }
   }
 
