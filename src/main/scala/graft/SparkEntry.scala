@@ -137,6 +137,25 @@ object SparkEntry {
 
   // -------------------------------------------------------------- queries
 
+  /** Planted-PII rows shared verbatim by the `t_redact` query and its
+    * DuckDB VALUES oracle (the synthetic corpus contains no PII, so the
+    * redaction semantics are exercised on fixed adversarial cases: dotted
+    * quads vs dotted phones, version strings that must NOT redact, etc.). */
+  private[graft] object PiiFixture {
+    val rows: Seq[(Int, String)] = Seq(
+      1 -> "contact me at john.doe+spam@example.co.uk for details",
+      2 -> "call +1-555-123-4567 or 555 123 4567 tomorrow",
+      3 -> "server at 192.168.001.1 and 10.0.0.255 responded",
+      4 -> "no personal data in this row at all",
+      5 -> "mixed: a@b.io then 203.0.113.9 then 33-444-5555",
+      6 -> "",
+      7 -> "v1.2.3 release notes section 4.5",
+      8 -> "dial 555.123.4567 now")
+    def valuesSql: String = rows
+      .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
+      .mkString("(VALUES ", ", ", ") AS pii(pii_id, text)")
+  }
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -332,6 +351,21 @@ object SparkEntry {
         round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"))),
     "t_subwords" -> ((s, dir) => documents(s, dir)
       .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))),
+    "t_repetition" -> ((s, dir) => documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))),
+    "t_top_terms" -> ((s, dir) => TextAnalysis.topTermsPerLang(documents(s, dir), 5)),
+    "t_sample_stratified" -> ((s, dir) =>
+      TextAnalysis.sampleStratified(documents(s, dir), "lang",
+          Map("en" -> 0.5, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang"))),
+    // planted-PII redaction: the corpus is synthetic word-salad (no PII), so
+    // the redaction semantics are oracled over a fixed VALUES table that both
+    // engines evaluate from scratch
+    "t_redact" -> ((s, _) => {
+      import s.implicits._
+      PiiFixture.rows.toDF("pii_id", "text")
+        .select(col("pii_id"), TextAnalysis.redactPii(col("text")).as("redacted"))
+    }),
 
     // ---- dedup ----
     "d_exact_dups" -> ((s, dir) => Dedup.exactDuplicates(documents(s, dir))),
@@ -500,6 +534,30 @@ object SparkEntry {
         |  + length(trim(text))
         |  - length(regexp_replace(trim(text), '[^A-Za-z0-9]', '', 'g'))
         |END AS BIGINT) AS n_subwords FROM documents""".stripMargin,
+    "t_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS norm,
+         |  string_split($normSql, ' ') AS toks FROM documents)
+         |SELECT doc_id, CASE WHEN length(norm) = 0 THEN 0.0
+         |  ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) /
+         |    greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) END AS rep_ratio
+         |FROM t""".stripMargin,
+    "t_top_terms" ->
+      s"""WITH t AS (SELECT lang, UNNEST(string_split($normSql, ' ')) AS term FROM documents),
+         |c AS (SELECT lang, term, count(*) AS n FROM t WHERE length(term) > 0 GROUP BY 1, 2)
+         |SELECT lang, CAST(rn AS INTEGER) AS rank, term, n
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn FROM c)
+         |WHERE rn <= 5""".stripMargin,
+    "t_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  ELSE TRUE END""".stripMargin,
+    "t_redact" ->
+      s"""SELECT pii_id, regexp_replace(regexp_replace(regexp_replace(text,
+         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+         |  '\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}([- .][0-9]{2,4})?', '<PHONE>', 'g') AS redacted
+         |FROM ${PiiFixture.valuesSql}""".stripMargin,
     "ops_lineage" ->
       // batches are a pure function of the sorted raw part-file names
       // (Lineage.inputBatches: sorted files round-robin'd over numBatches=4);

@@ -84,4 +84,84 @@ object TextAnalysis {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
+
+  // ------------------------------------------------------ pipeline stages
+
+  /** PII redaction — the standard pre-training scrub pass: emails, then
+    * IPv4s, then phone-shaped number groups, replaced with typed placeholder
+    * tags. Order matters twice: emails first (they contain digit/dot runs),
+    * and IPv4 BEFORE phones — the phone pattern accepts '.' separators, so
+    * run the other way it would eat the first three octets of a dotted quad.
+    * Pure codegen `regexp_replace` chain — replace-ALL semantics on both
+    * engines (DuckDB needs the 'g' flag; the oracle mirrors that). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}([- .][0-9]{2,4})?", "<PHONE>")
+  }
+
+  /** Gopher-style repetition ratio: 1 − distinct_words/words ∈ [0,1] — the
+    * cheap intra-document duplication signal (boilerplate and keyword-stuffed
+    * pages score high and get filtered before training). */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    when(length(normalized(text)) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        greatest(n, lit(1.0)), 6))
+  }
+
+  /** Deterministic hash-sampling predicate: keep a row iff the first 4 hex
+    * digits of `md5(key)` fall below `fraction * 65536`. Properties a 100 TB
+    * pipeline needs that `df.sample()` lacks: (a) stable under any
+    * partitioning, retries, and re-runs (a document is in or out forever —
+    * resumable jobs must not resample); (b) engine-portable (md5 hex is
+    * identical everywhere, so downstream systems can reproduce the split);
+    * (c) a pure codegen predicate that pushes into the scan. */
+  def sampleHash(key: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    if (fraction >= 1.0) lit(true)
+    else {
+      // 4 hex digits = 65536 buckets; hex strings of equal length sort
+      // lexicographically in numeric order, so `< threshold` keeps exactly
+      // round(fraction * 65536) buckets
+      val threshold = f"${math.round(fraction * 65536)}%04x"
+      substring(md5(key.cast("string")), 1, 4) < lit(threshold)
+    }
+  }
+
+  /** Stratified deterministic downsampling: per-stratum keep fractions
+    * (e.g. cap the dominant language while keeping the long tail whole) —
+    * the corpus-rebalancing stage of a training-data pipeline. Rows in
+    * strata absent from `fractions` keep `defaultFraction`. One scan, no
+    * shuffle, no state: the predicate is [[sampleHash]] per stratum. */
+  def sampleStratified(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double],
+                       keyCol: String = "doc_id",
+                       defaultFraction: Double = 1.0): DataFrame = {
+    val keep = fractions.foldLeft(sampleHash(col(keyCol), defaultFraction): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, sampleHash(col(keyCol), f)).otherwise(acc)
+    }
+    df.where(keep)
+  }
+
+  /** Top-k most frequent tokens per language — corpus vocabulary QA (spot
+    * tokenizer damage, boilerplate takeover, language mislabels). Plan: one
+    * explode + partial/final count aggregate (map-side combine absorbs the
+    * Zipf skew of hot tokens), then a per-language top-k window over the
+    * (languages × vocab)-sized aggregate — tiny relative to the corpus. */
+  def topTermsPerLang(documents: DataFrame, k: Int): DataFrame = {
+    val terms = documents
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("term").asc)
+    terms.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("int").as("rank"), col("term"), col("n"))
+  }
 }

@@ -238,6 +238,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(q.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("PII redaction: emails, dotted quads, phone shapes; version strings untouched") {
+    import spark.implicits._
+    val expected = Map(
+      1 -> "contact me at <EMAIL> for details",
+      2 -> "call <PHONE> or <PHONE> tomorrow",
+      3 -> "server at <IP> and <IP> responded",
+      4 -> "no personal data in this row at all",
+      5 -> "mixed: <EMAIL> then <IP> then <PHONE>",
+      6 -> "",
+      7 -> "v1.2.3 release notes section 4.5", // NOT an IP and NOT a phone
+      8 -> "dial <PHONE> now")
+    val got = SparkEntry.PiiFixture.rows.toDF("pii_id", "text")
+      .select(col("pii_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == expected)
+  }
+
+  test("deterministic stratified sampling: stable under repartitioning, strata respected") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sampleStratified(d, "lang", Map("en" -> 0.5))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val s1 = ids(df)
+    val s2 = ids(df.repartition(13)) // same rows regardless of partitioning
+    assert(s1 == s2)
+    assert(s1.count(_ % 2 == 1) == 2000) // fr: default fraction 1.0 keeps all
+    val en = s1.count(_ % 2 == 0) // en: ~50% by md5 bucket, binomial bound
+    assert(math.abs(en - 1000) < 150, s"en kept $en of 2000 at fraction 0.5")
+  }
+
+  test("repetition ratio and top terms per language") {
+    import spark.implicits._
+    val rep = Seq((1L, "a a a a"), (2L, "w x y z"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep == Map(1L -> 0.75, 2L -> 0.0, 3L -> 0.0))
+    val docs = Seq((1L, "en", "b b a"), (2L, "en", "a c a"), (3L, "fr", "z"))
+      .toDF("doc_id", "lang", "text")
+    val top = TextAnalysis.topTermsPerLang(docs, 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(top.toSet == Set(("en", 1, "a", 3L), ("en", 2, "b", 2L), ("fr", 1, "z", 1L)))
+  }
+
   test("media decode stub + frame sampling preserve schema and determinism") {
     import spark.implicits._
     val media = Fixtures.media(spark).as[graft.model.MediaRow]
