@@ -57,6 +57,12 @@ object PlanAudit {
          || fused extract_spans expression per-core (local[8]) | $exprRate%.0f docs/sec |
          || typed-path encoder+framework overhead | ${100 * (1 - sparkRate / pureRate)}%.1f%% |
          |
+         |(Single-shot probe on a shared box: host-steal bursts make absolute
+         |rates swing 2-4x between runs — r03 observed 19.7k-50.8k docs/s pure
+         |on identical code; see BASELINE.md "regression reconciliation". Use
+         |the RATIO for the encoder-overhead reading, and BASELINE.md's
+         |pinned min-of-reps protocol for absolute throughput claims.)
+         |
          |PITFALL (verified, extended in r02): any predicate that ends up below
          |the project re-evaluates extract_spans per reference. `where(x.error
          |is null)` is pushed + alias-substituted (3 evals), and even a plain
@@ -126,6 +132,13 @@ object PlanAudit {
     sb ++= explainOf("d_ngram_jaccard with df-cap (r01 #8 — expect: aggregate+semi-join gate before the inverted-index self-join)",
       graft.functions.Dedup.ngramJaccardPairs(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3, 0.5))
+    sb ++= explainOf("t_top_terms (r03 — expect: explode + partial/final count agg absorbing Zipf skew map-side, then window only over the vocab-sized aggregate)",
+      graft.functions.TextAnalysis.topTermsPerLang(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 5))
+    sb ++= explainOf("t_sample_stratified (r03 — expect: single scan, md5 keep-predicate inside the scan's WholeStageCodegen filter, NO shuffle/state)",
+      graft.functions.TextAnalysis.sampleStratified(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "lang", Map("en" -> 0.5, "zh" -> 0.25)))
     sb ++= explainOf("s_ann_lsh (r01 #9 — expect: fused rhp_sig, band join ships ids only, norms per-row pre-join)",
       graft.functions.Similarity.lshTopK(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),

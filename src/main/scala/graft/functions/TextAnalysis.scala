@@ -120,7 +120,10 @@ object TextAnalysis {
     * partitioning, retries, and re-runs (a document is in or out forever —
     * resumable jobs must not resample); (b) engine-portable (md5 hex is
     * identical everywhere, so downstream systems can reproduce the split);
-    * (c) a pure codegen predicate that pushes into the scan. */
+    * (c) a pure codegen predicate evaluated in the scan's whole-stage-codegen
+    * filter — no shuffle, no state (it computes per row, so it cannot prune
+    * row groups; at 100 TB persist the bucket as a column if the same split
+    * is re-read often). */
   def sampleHash(key: Column, fraction: Double): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
     if (fraction >= 1.0) lit(true)
