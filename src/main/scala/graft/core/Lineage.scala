@@ -55,11 +55,16 @@ object Lineage {
   }
 
   /** Run (or resume) the batched extraction job. Returns the lineage rows of
-    * every batch that is committed when the call finishes.
+    * every batch that is committed when the call finishes. `mode` selects
+    * the extraction path: `expr` (fused expression, default), `auto`
+    * (3-tier skew routing), `chunked` (typed mega-doc path), `typed`
+    * (mapPartitions).
     */
   def runBatched(spark: SparkSession, rawPath: String, outPath: String,
-                 numBatches: Int = 8, chunked: Boolean = false): Seq[LineageRow] = {
+                 numBatches: Int = 8, chunked: Boolean = false,
+                 mode: String = null): Seq[LineageRow] = {
     import spark.implicits._
+    val effMode = Option(mode).getOrElse(if (chunked) "chunked" else "expr")
     val batches = inputBatches(spark, rawPath, numBatches)
     val done = committedBatches(spark, outPath)
     val rows = batches.map { case (batchId, files) =>
@@ -70,9 +75,12 @@ object Lineage {
           val t0 = System.nanoTime()
           import org.apache.spark.sql.functions._
           val rawDf = spark.read.schema(graft.model.Schemas.rawDocs).parquet(files: _*)
-          // chunked: typed skew path; default: fused-expression fast path
-          val extracted = (if (chunked) Extract.runChunked(rawDf.as[RawDoc]).toDF()
-                           else Extract.runExpr(rawDf)).persist()
+          val extracted = (effMode match {
+            case "chunked" => Extract.runChunked(rawDf.as[RawDoc]).toDF()
+            case "typed"   => Extract.run(rawDf.as[RawDoc]).toDF()
+            case "auto"    => Extract.runAuto(rawDf)
+            case _         => Extract.runExpr(rawDf)
+          }).persist()
           try {
             val good = extracted.where(col("error").isNull).select("doc_id", "spans")
             val bad = extracted.where(col("error").isNotNull).select("doc_id", "error")
