@@ -79,9 +79,13 @@ object Dedup {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct().persist()
-    // seed label(v) = v; lazy checkpoint: truncated plan, cached on first use
-    var labels = edges.select(col("u").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
+    // seed with round 1 pre-applied: when every label is still the identity,
+    // the first propagate simplifies to a bare neighbor-min aggregate
+    // (no label join needed) — one whole round job saved. Lazy checkpoint:
+    // truncated plan, cached on first use.
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .select(col("u").as("v"), col("label"))
       .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
