@@ -67,14 +67,29 @@ echo "[fleet] solo 8-core JVM..." >&2
 prime; barrier solo
 run_jvm 0 $R.solo.json 1
 
+# bare `wait` ignores child exit codes (and a dead JVM leaves an empty
+# .json that only fails later as a cryptic JSONDecodeError) — collect PIDs
+# and check each status, then check each output is non-empty
+await_all() {
+  local pids=("$@") rc=0 p
+  for p in "${pids[@]}"; do wait "$p" || { echo "[fleet] JVM pid $p failed (see $LOG)" >&2; rc=1; }; done
+  return $rc
+}
+
 echo "[fleet] K=2 concurrent 8-core JVMs..." >&2
 prime; barrier k2
-run_jvm 0 $R.k2_0.json 2 & run_jvm 1 $R.k2_1.json 2 & wait
+run_jvm 0 $R.k2_0.json 2 & P1=$!; run_jvm 1 $R.k2_1.json 2 & P2=$!
+await_all $P1 $P2
 
 echo "[fleet] K=4 concurrent 8-core JVMs (32 busy cores)..." >&2
 prime; barrier k4
-run_jvm 0 $R.k4_0.json 4 & run_jvm 1 $R.k4_1.json 4 & \
-run_jvm 2 $R.k4_2.json 4 & run_jvm 3 $R.k4_3.json 4 & wait
+run_jvm 0 $R.k4_0.json 4 & P1=$!; run_jvm 1 $R.k4_1.json 4 & P2=$!
+run_jvm 2 $R.k4_2.json 4 & P3=$!; run_jvm 3 $R.k4_3.json 4 & P4=$!
+await_all $P1 $P2 $P3 $P4
+
+for f in $R.solo.json $R.k2_*.json $R.k4_*.json; do
+  [ -s "$f" ] || { echo "[fleet] $f is empty — its JVM printed no GRAFT_TIMES (see $LOG)" >&2; exit 1; }
+done
 
 python3 - "$MODE-$SINK" <<'EOF'
 import json, glob, datetime, sys

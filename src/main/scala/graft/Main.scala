@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
   *   --output /data/extracted \
   *   [--mode expr|auto|typed|chunked]   // default expr (fused expression);
   *                                      // auto = 3-tier mega-doc skew routing
-  *   [--batches N]                      // lineage/commit granularity (default 64)
-  *   [--no-resume]                      // wipe committed lineage, re-extract all
+  *   [--batches N]                      // lineage/commit granularity (default 64);
+  *                                      // shrinking N over an existing output
+  *                                      // requires --no-resume (checked)
+  *   [--no-resume]                      // wipe output (docs, quarantine,
+  *                                      // lineage) and re-extract everything
   *   [--shuffle-partitions N]           // only the chunked path shuffles
   * }}}
   *
@@ -34,7 +37,9 @@ object Main {
       args(i) match {
         case "--no-resume" =>
           m += "no-resume" -> "true"; i += 1
-        case flag if flag.startsWith("--") && i + 1 < args.length =>
+        case flag if flag.startsWith("--") =>
+          if (i + 1 >= args.length || args(i + 1).startsWith("--"))
+            sys.error(s"missing value for $flag")
           m += flag.drop(2) -> args(i + 1); i += 2
         case other => sys.error(s"unexpected argument: $other")
       }
@@ -62,9 +67,13 @@ object Main {
       .getOrCreate()
 
     if (opts.contains("no-resume")) {
+      // wipe the WHOLE output, not just _lineage: leaving docs/quarantine
+      // batch dirs behind while forgetting their lineage would duplicate
+      // documents if this run uses a different --batches grouping
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(output), spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$output/_lineage"), true)
+      Seq("_lineage", "docs", "quarantine").foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$output/$d"), true))
     }
 
     val rows = Lineage.runBatched(spark, input, output, numBatches = batches, mode = mode)

@@ -106,28 +106,15 @@ object PlanAudit {
       Extract.runAuto(spark.read.schema(graft.model.Schemas.rawDocsWithN).parquet(Fixtures.RawPath),
         spreadThreshold = 1024, hugeThreshold = 6000))
     locally {
-      import org.apache.spark.sql.functions.{coalesce, col, least, min}
-      // one CC round, built exactly as Dedup.connectedComponents builds it
-      // (r02 #1 fix): propagate + two pointer jumps + the convergence flag,
-      // all materialized by a SINGLE action per round (lazy localCheckpoint).
+      // one CC round via the SAME builders the production loop uses
+      // (Dedup.ccEdges/ccSeed/ccRound — r03 self-review: the audit must not
+      // drift from the shipped plan): seed-fused round 1, propagate + two
+      // pointer jumps + the convergence flag, all materialized by a SINGLE
+      // action per round (lazy localCheckpoint).
       val pairs = spark.range(100).selectExpr("id AS a", "id % 7 AS b")
-      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-        .union(pairs.select(col("b").as("u"), col("a").as("v"))).distinct()
-      val labels = edges.select(col("u").as("v")).distinct()
-        .select(col("v"), col("v").as("label"))
-      val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
-        .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
-      var cur = labels.join(prop, Seq("v"), "left")
-        .select(col("v"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      (0 until 2).foreach { _ =>
-        val hop = cur.select(col("v").as("label"), col("label").as("ll"))
-        cur = cur.join(hop, Seq("label"), "left")
-          .select(col("v"), col("old"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-      }
+      val edges = graft.functions.Dedup.ccEdges(pairs)
       sb ++= explainOf("d_cc_components one round (r02 #1 — expect: partial_min below the propagate exchange (the giant-star skew defense: a 10^4-degree hub combines map-side); the jump's self-join subtrees dedup via exchange/subquery reuse; each round is ONE action — the convergence flag `chg` rides in the round's own output and the lazy localCheckpoint materializes inside that count)",
-        cur.select(col("v"), col("label"), (col("label") =!= col("old")).as("chg")))
+        graft.functions.Dedup.ccRound(graft.functions.Dedup.ccSeed(edges), edges))
     }
     sb ++= explainOf("d_ngram_jaccard with df-cap (r01 #8 — expect: aggregate+semi-join gate before the inverted-index self-join)",
       graft.functions.Dedup.ngramJaccardPairs(

@@ -28,6 +28,9 @@ object ScalingBench {
   private val OutPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
     "/dev/shm/graft_scaling_out.parquet")
 
+  /** input doc count, measured once per process (see job()). */
+  private var cachedInputDocs: Long = -1L
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -68,7 +71,13 @@ object ScalingBench {
     if (sink == "noop") out.write.mode(SaveMode.Overwrite).format("noop").save()
     else out.write.mode(SaveMode.Overwrite).parquet(OutPath)
     val sec = (System.nanoTime() - t0) / 1e9
-    val n = if (sink == "noop") raw.count() else spark.read.parquet(OutPath).count()
+    // noop leaves nothing to count; the input cardinality is fixed for the
+    // process lifetime, so count it once instead of re-scanning the corpus
+    // between every timed round (28 extra scans per K=4 fleet otherwise)
+    val n = if (sink == "noop") {
+      if (cachedInputDocs < 0) cachedInputDocs = raw.count()
+      cachedInputDocs
+    } else spark.read.parquet(OutPath).count()
     (sec, n)
   }
 
@@ -103,8 +112,15 @@ object ScalingBench {
           val d = new java.io.File(dir)
           d.mkdirs()
           new java.io.File(d, s"ready-${ProcessHandle.current().pid()}").createNewFile()
-          while (d.listFiles().count(_.getName.startsWith("ready-")) < k)
+          val deadline = System.nanoTime() + 10L * 60 * 1000000000L
+          def ready = Option(d.listFiles()) // null on transient FS races
+            .map(_.count(_.getName.startsWith("ready-"))).getOrElse(0)
+          while (ready < k) {
+            if (System.nanoTime() > deadline)
+              sys.error(s"fleet barrier timed out: $ready/$k JVMs ready after 10min " +
+                "(a sibling JVM likely died during warmup — check the fleet log)")
             Thread.sleep(100)
+          }
         }
         // per-round epoch intervals let the fleet harness verify that the
         // rounds it compares actually ran CONCURRENTLY across JVMs

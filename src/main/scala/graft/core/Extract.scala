@@ -121,10 +121,16 @@ object Extract {
     import org.apache.spark.sql.functions.{col, size}
     val spark = raw.sparkSession
     import spark.implicits._
-    val n = if (raw.columns.contains("n_spans")) col("n_spans") else size(col("spans"))
+    val hasN = raw.columns.contains("n_spans")
+    val n = if (hasN) col("n_spans") else size(col("spans"))
     val rawCols = Seq(col("doc_id"), col("spans")) ++
       (if (raw.columns.contains("meta")) Seq(col("meta")) else Nil)
-    val small = runExpr(raw.where(n <= spreadThreshold).select(rawCols: _*))
+    // a NULL n_spans (foreign table with a nullable column) must not vanish:
+    // it fails every tier comparison, so route it to the fused tier — which
+    // handles any size correctly, just without outlier spreading. IsNull ORs
+    // into the pushed filter; the coalesce alternative would kill pushdown.
+    val smallPred = if (hasN) n <= spreadThreshold || n.isNull else n <= spreadThreshold
+    val small = runExpr(raw.where(smallPred).select(rawCols: _*))
     val medium = runExpr(
       raw.where(n > spreadThreshold && n <= hugeThreshold).select(rawCols: _*)
         .repartition(spark.sparkContext.defaultParallelism))

@@ -61,12 +61,31 @@ object Lineage {
     * (mapPartitions).
     */
   def runBatched(spark: SparkSession, rawPath: String, outPath: String,
-                 numBatches: Int = 8, chunked: Boolean = false,
-                 mode: String = null): Seq[LineageRow] = {
+                 numBatches: Int = 8, mode: String = "expr"): Seq[LineageRow] = {
     import spark.implicits._
-    val effMode = Option(mode).getOrElse(if (chunked) "chunked" else "expr")
+    require(Set("expr", "auto", "typed", "chunked")(mode), s"unknown mode $mode")
+    // captured before the per-batch `functions._` wildcard import, which
+    // would make a bare `mode` reference ambiguous with functions.mode
+    val extractMode = mode
     val batches = inputBatches(spark, rawPath, numBatches)
     val done = committedBatches(spark, outPath)
+    // a previously-committed batch id beyond the current grouping means the
+    // output still holds data this run will never overwrite — resuming would
+    // leave duplicate documents behind; demand an explicit clean start
+    val stale = done.keys.filter(_ >= batches.size)
+    require(stale.isEmpty,
+      s"output has committed batches ${stale.toSeq.sorted.mkString(",")} beyond " +
+        s"the current numBatches=${batches.size} grouping; wipe $outPath " +
+        "(Main: --no-resume) before shrinking the batch count")
+    // footer-only probe: read with the n_spans-bearing schema when the input
+    // carries the materialized count, so auto mode's tier filters can prune
+    // row groups (a fixed rawDocs schema would project the column away and
+    // silently fall back to post-scan size(spans) filters)
+    val hasN = batches.headOption.exists { case (_, files) =>
+      spark.read.parquet(files.head).schema.fieldNames.contains("n_spans")
+    }
+    val readSchema = if (hasN && mode == "auto") graft.model.Schemas.rawDocsWithN
+                     else graft.model.Schemas.rawDocs
     val rows = batches.map { case (batchId, files) =>
       val fp = fingerprint(files)
       done.get(batchId) match {
@@ -74,10 +93,10 @@ object Lineage {
         case _ =>
           val t0 = System.nanoTime()
           import org.apache.spark.sql.functions._
-          val rawDf = spark.read.schema(graft.model.Schemas.rawDocs).parquet(files: _*)
-          val extracted = (effMode match {
-            case "chunked" => Extract.runChunked(rawDf.as[RawDoc]).toDF()
-            case "typed"   => Extract.run(rawDf.as[RawDoc]).toDF()
+          val rawDf = spark.read.schema(readSchema).parquet(files: _*)
+          val extracted = (extractMode match {
+            case "chunked" => Extract.runChunked(rawDf.select("doc_id", "spans", "meta").as[RawDoc]).toDF()
+            case "typed"   => Extract.run(rawDf.select("doc_id", "spans", "meta").as[RawDoc]).toDF()
             case "auto"    => Extract.runAuto(rawDf)
             case _         => Extract.runExpr(rawDf)
           }).persist()

@@ -75,39 +75,51 @@ object Dedup {
     * superseded rounds are reclaimed by the ContextCleaner once the loop
     * drops its references.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+  /** Symmetric deduplicated edge set of a pair table. */
+  private[graft] def ccEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .distinct().persist()
-    // seed with round 1 pre-applied: when every label is still the identity,
-    // the first propagate simplifies to a bare neighbor-min aggregate
-    // (no label join needed) — one whole round job saved. Lazy checkpoint:
-    // truncated plan, cached on first use.
-    var labels = edges.groupBy(col("u"))
+      .distinct()
+
+  /** Label seed with round 1 pre-applied: when every label is still the
+    * identity, the first propagate simplifies to a bare neighbor-min
+    * aggregate (no label join needed) — one whole round job saved. */
+  private[graft] def ccSeed(edges: DataFrame): DataFrame =
+    edges.groupBy(col("u"))
       .agg(least(col("u"), min(col("v"))).as("label"))
       .select(col("u").as("v"), col("label"))
-      .localCheckpoint(false)
+
+  /** One CC round: propagate (min over self + neighbors — min()
+    * partial-aggregates map-side, so a hub vertex with 10^4 neighbors
+    * combines before the shuffle instead of hot-spotting one reducer;
+    * skew-tested) then TWO pointer jumps `label(v) := label(label(v))`.
+    * Output carries (v, label, chg) where `chg` marks labels that moved —
+    * the convergence signal. Shared by the production loop, the PlanAudit
+    * explain dump, and the skew test, so the audited plan IS the shipped
+    * plan. */
+  private[graft] def ccRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
+      .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
+    var cur = labels.join(prop, Seq("v"), "left")
+      .select(col("v"), col("label").as("old"),
+        least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    (0 until 2).foreach { _ =>
+      val hop = cur.select(col("v").as("label"), col("label").as("ll"))
+      cur = cur.join(hop, Seq("label"), "left")
+        .select(col("v"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+    }
+    cur.select(col("v"), col("label"), (col("label") =!= col("old")).as("chg"))
+  }
+
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = ccEdges(pairs).persist()
+    // lazy checkpoint: truncated plan, cached on first use
+    var labels = ccSeed(edges).localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      // propagate: min over self + neighbors. min() partial-aggregates
-      // map-side, so a hub vertex with 10^4 neighbors combines before the
-      // shuffle instead of hot-spotting one reducer (skew-tested).
-      val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
-        .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
-      var cur = labels.join(prop, Seq("v"), "left")
-        .select(col("v"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // shortcut (pointer jumping) twice: label(v) := label(label(v))
-      (0 until 2).foreach { _ =>
-        val hop = cur.select(col("v").as("label"), col("label").as("ll"))
-        cur = cur.join(hop, Seq("label"), "left")
-          .select(col("v"), col("old"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-      }
-      val next = cur
-        .select(col("v"), col("label"), (col("label") =!= col("old")).as("chg"))
-        .localCheckpoint(false)
+      val next = ccRound(labels, edges).localCheckpoint(false)
       // the round's single action: materializes the checkpoint AND returns
       // the number of vertices whose label moved this round
       changed = next.where(col("chg")).count()

@@ -126,14 +126,14 @@ object TextAnalysis {
     * is re-read often). */
   def sampleHash(key: Column, fraction: Double): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
-    if (fraction >= 1.0) lit(true)
-    else {
-      // 4 hex digits = 65536 buckets; hex strings of equal length sort
-      // lexicographically in numeric order, so `< threshold` keeps exactly
-      // round(fraction * 65536) buckets
-      val threshold = f"${math.round(fraction * 65536)}%04x"
-      substring(md5(key.cast("string")), 1, 4) < lit(threshold)
-    }
+    // 4 hex digits = 65536 buckets; hex strings of equal length sort
+    // lexicographically in numeric order, so `< threshold` keeps exactly
+    // `buckets` of them. Guard on the ROUNDED bucket count: a fraction like
+    // 0.999995 also rounds to 65536, whose %04x rendering would be the
+    // 5-char string "10000" and break the equal-length comparison.
+    val buckets = math.round(fraction * 65536)
+    if (buckets >= 65536) lit(true)
+    else substring(md5(key.cast("string")), 1, 4) < lit(f"$buckets%04x")
   }
 
   /** Stratified deterministic downsampling: per-stratum keep fractions

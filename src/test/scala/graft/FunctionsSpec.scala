@@ -121,15 +121,11 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byComponent == Map(0L -> 10001L, 20000L -> 33L))
     // the skewed aggregate must partial-aggregate map-side. The loop's own
-    // output plan is a truncated LogicalRDD leaf, so assert on the round's
-    // propagate shape built the same way the loop builds it:
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v"))).distinct()
-    val labels = edges.select(col("u").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-    val prop = edges.join(labels.select(col("v").as("u"), col("label")), "u")
-      .groupBy(col("v")).agg(min(col("label")).as("nlabel"))
-    val plan = prop.queryExecution.executedPlan.toString()
+    // output plan is a truncated LogicalRDD leaf, so assert on one round
+    // built by the SAME builders the production loop uses:
+    val edges = Dedup.ccEdges(pairs)
+    val round = Dedup.ccRound(Dedup.ccSeed(edges), edges)
+    val plan = round.queryExecution.executedPlan.toString()
     assert(plan.contains("partial_min"),
       s"expected map-side partial_min below the exchange in:\n$plan")
   }
