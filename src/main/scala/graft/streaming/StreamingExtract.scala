@@ -66,4 +66,26 @@ object StreamingExtract {
         count(lit(1)).as("n_docs"),
         sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
         sum(when(col("error").isNull, size(col("spans"))).otherwise(0L)).as("n_spans"))
+
+  /** Streaming exact-dedup stage: drop re-ingested duplicates ON ARRIVAL by
+    * content fingerprint — the streaming form of
+    * [[graft.functions.Dedup.dropExactDuplicates]] for an always-on
+    * ingestion pipeline (re-crawls and re-delivered files are the norm at
+    * web scale). State discipline: `dropDuplicatesWithinWatermark` keys the
+    * state store on the md5 fingerprint and EVICTS entries older than the
+    * watermark delay, so state stays bounded by the dedup horizon instead of
+    * growing with the corpus — a plain `dropDuplicates` on a stream would
+    * accumulate state forever. Exactly-one-survivor holds within the
+    * horizon; a duplicate arriving later than `horizon` passes (documented
+    * trade-off; the batch CC/exact pass downstream catches stragglers).
+    *
+    * Input: a streaming frame with a `text` column (e.g. re-joined doc
+    * output); `eventTimeCol` orders the horizon. */
+  def dedupWithinHorizon(docs: DataFrame, horizon: String = "1 hour",
+                         eventTimeCol: String = "event_time"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextAnalysis.fingerprint(col("text")))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
 }

@@ -50,6 +50,41 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(got2.select($"doc_id").distinct().count() == 100)
   }
 
+  test("streaming dedup within horizon: one survivor per fingerprint across micro-batches") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_d").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("event_time", TimestampType)))
+    def wave(n: Int, rows: Seq[(Long, String, Long)]): Unit = {
+      import spark.implicits._
+      rows.map { case (id, t, ms) => (id, t, new java.sql.Timestamp(ms)) }
+        .toDF("doc_id", "text", "event_time")
+        .coalesce(1).write.parquet(s"$in/wave=$n")
+    }
+    val t0 = 1700000000000L
+    wave(1, Seq((1L, "alpha text", t0), (2L, "beta text", t0 + 1000)))
+    // re-ingested duplicate of "alpha text" (different doc_id, later time)
+    // inside the horizon + one genuinely new doc
+    wave(2, Seq((3L, "alpha text", t0 + 2000), (4L, "gamma text", t0 + 3000)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = StreamingExtract.dedupWithinHorizon(src)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // exactly one survivor per distinct text; the duplicate doc_id=3 dropped
+    assert(got.map(_._2).sorted.toSeq == Seq("alpha text", "beta text", "gamma text"))
+    assert(!got.map(_._1).contains(3L))
+  }
+
   test("streaming health counts aggregate docs/quarantine/spans per window") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream_h").toString
