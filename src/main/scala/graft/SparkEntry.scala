@@ -135,6 +135,27 @@ object SparkEntry {
        |    CAST(len(za.sh) + len(zb.sh) - len(list_intersect(za.sh, zb.sh)) AS DOUBLE), 6) AS jaccard
        |  FROM p JOIN sh za ON za.doc_id = p.a JOIN sh zb ON zb.doc_id = p.b)""".stripMargin
 
+  /** Shared CTE chain for the d_contamination / d_drop_contaminated oracles —
+    * mirrors `Dedup.contaminationReport` (13-gram shingles, whole-text
+    * fallback for short docs) against the deterministic synthetic benchmark
+    * (first-30-token excerpts of every doc_id % 50 == 0 document, see
+    * [[benchmarkExcerpts]]). String n-grams here vs XXH64-hashed n-grams on
+    * the Spark side — identical join/count up to 64-bit hash collisions,
+    * the same equivalence the d_ngram_jaccard oracle already rests on. */
+  private val contaminationCtes: String =
+    s"""t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |dsh AS (SELECT doc_id, CASE WHEN len(toks) > 13 THEN
+       |    list_distinct(list_transform(range(1, len(toks) - 11),
+       |      i -> array_to_string(toks[i:i+12], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+       |bt AS (SELECT toks[1:30] AS btoks FROM t WHERE doc_id % 50 = 0),
+       |bsh AS (SELECT DISTINCT UNNEST(CASE WHEN len(btoks) > 13 THEN
+       |    list_transform(range(1, len(btoks) - 11),
+       |      i -> array_to_string(btoks[i:i+12], ' '))
+       |  ELSE [array_to_string(btoks, ' ')] END) AS g FROM bt),
+       |dg AS (SELECT doc_id, UNNEST(sh) AS g FROM dsh),
+       |hits AS (SELECT doc_id, g FROM dg JOIN bsh USING (g))""".stripMargin
+
   // -------------------------------------------------------------- queries
 
   /** Planted-PII rows shared verbatim by the `t_redact` query and its
@@ -160,6 +181,15 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic synthetic "evaluation benchmark" for the decontamination
+    * queries: the first-30-token excerpt of every doc_id % 50 == 0 document.
+    * Planted from the corpus itself so contamination provably exists at any
+    * SF, with no external data; mirrored verbatim in [[contaminationCtes]]. */
+  private def benchmarkExcerpts(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 50 === 0)
+      .select(array_join(
+        slice(split(TextAnalysis.normalized(col("text")), " "), 1, 30), " ").as("text"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction engine (fixtures; the correctness gate) ----
@@ -382,6 +412,14 @@ object SparkEntry {
       .select(col("doc_id"))),
     "d_drop_near_cc_lsh" -> ((s, dir) => Dedup.dropNearDuplicatesCCLsh(documents(s, dir), 0.5)
       .select(col("doc_id"))),
+    "d_contamination" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.contaminationReport(docs, benchmarkExcerpts(docs), 13)
+    }),
+    "d_drop_contaminated" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.dropContaminated(docs, benchmarkExcerpts(docs), 13).select(col("doc_id"))
+    }),
     "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
     "d_embed_neardup_lsh" -> ((s, dir) => Dedup.embeddingNearDuplicatesLsh(embeddings(s, dir), 0.9)),
 
@@ -694,6 +732,13 @@ object SparkEntry {
     "d_ngram_jaccard" ->
       s"""WITH $ngramPairsCtes
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "d_contamination" ->
+      s"""WITH $contaminationCtes
+         |SELECT doc_id, count(*) AS n_collisions FROM hits GROUP BY doc_id""".stripMargin,
+    "d_drop_contaminated" ->
+      s"""WITH $contaminationCtes
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
     "d_cc_components" ->
       s"""WITH RECURSIVE $ngramPairsCtes,
          |pr AS (SELECT a, b FROM j WHERE jaccard >= 0.5),

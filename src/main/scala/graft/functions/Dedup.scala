@@ -274,6 +274,41 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram collision method):
+    * count, per training document, the distinct word n-grams it shares with
+    * an evaluation set. A training corpus must not contain eval data —
+    * leaked benchmark text inflates measured model quality — so this stage
+    * is as standard in a training pipeline as dedup itself.
+    *
+    * Plan shape for 100 TB training vs KB-GB benchmark: both sides hash
+    * shingles to 8-byte longs map-side (fused [[ShingleHashExpr]], same
+    * discipline as [[ngramJaccardPairs]]); the benchmark's distinct n-gram
+    * vocabulary is tiny, so AQE broadcasts it and the training corpus never
+    * shuffles — one scan, one broadcast-join, one partial/final count.
+    * Documents sharing no n-gram produce no row (the common case; compose
+    * with [[dropContaminated]] for the filter form).
+    */
+  def contaminationReport(documents: DataFrame, benchmark: DataFrame,
+                          ngram: Int = 13): DataFrame = {
+    val docSh = documents.select(col("doc_id"),
+      explode(ShingleHashExpr(col("text"), ngram)).as("g"))
+    val benchSh = benchmark
+      .select(explode(ShingleHashExpr(col("text"), ngram)).as("g")).distinct()
+    docSh.join(benchSh, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
+  }
+
+  /** Filter form: drop every training document sharing at least
+    * `minCollisions` distinct n-grams with the benchmark. */
+  def dropContaminated(documents: DataFrame, benchmark: DataFrame,
+                       ngram: Int = 13, minCollisions: Int = 1): DataFrame = {
+    val flagged = contaminationReport(documents, benchmark, ngram)
+      .where(col("n_collisions") >= minCollisions).select(col("doc_id"))
+    documents.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of token

@@ -80,6 +80,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(uncapped.size == 1 || uncapped.keys.exists(p => p._1 < 40L)) // hot pairs exist pre-threshold
   }
 
+  test("contamination report counts distinct shared 13-grams; drop keeps clean docs") {
+    val b13 = base.split(" ").take(13).mkString(" ") // == whole-text shingle of doc 3
+    val b15 = base.split(" ").take(15).mkString(" ") // 15 tokens -> three 13-grams
+    val docs = docsDf(
+      1L -> base, // shares all three benchmark 13-grams
+      2L -> "completely unrelated corpus line with no overlap at all whatsoever in any window",
+      3L -> b13)  // short doc: whole-text fallback shingle == benchmark 13-gram #1
+    val bench = docsDf(10L -> b15).select(col("text"))
+    val rep = Dedup.contaminationReport(docs, bench, 13).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(1L -> 3L, 3L -> 1L))
+    val kept = Dedup.dropContaminated(docs, bench, 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("fused L2NormExpr matches the HOF norm; RhpSigExpr is deterministic and sign-stable") {
     val r = new java.util.Random(3)
     val vecs = (0L until 50L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
