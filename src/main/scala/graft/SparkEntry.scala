@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Extract, Lineage}
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Packing, Similarity, TextAnalysis}
 import graft.model.RawDoc
 import graft.multimodal.Multimodal
 import graft.queries.{Mutators, SpanQueries}
@@ -134,6 +134,21 @@ object SparkEntry {
        |    CAST(len(list_intersect(za.sh, zb.sh)) AS DOUBLE) /
        |    CAST(len(za.sh) + len(zb.sh) - len(list_intersect(za.sh, zb.sh)) AS DOUBLE), 6) AS jaccard
        |  FROM p JOIN sh za ON za.doc_id = p.a JOIN sh zb ON zb.doc_id = p.b)""".stripMargin
+
+  /** Shared CTE chain `q(doc_id, quality)` — mirrors
+    * `TextAnalysis.qualityScore`; used by t_quality and t_quality_top. */
+  private val qualityCtes: String =
+    s"""q0 AS (SELECT doc_id,
+       |  CAST(length(text) AS DOUBLE) AS l,
+       |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+       |  CAST(len(list_filter(string_split($normSql, ' '),
+       |    t -> list_contains($enStop, t))) AS DOUBLE) AS stop_hits
+       |  FROM documents),
+       |q AS (SELECT doc_id, round((alpha_chars / greatest(l, 1.0)) * 0.4
+       |  + least((stop_hits / greatest(n_tok, 1.0)) * 3.0, 1.0) * 0.3
+       |  + least(l / 500.0, 1.0) * 0.3, 6) AS quality FROM q0)""".stripMargin
 
   /** Shared CTE chain for the d_contamination / d_drop_contaminated oracles —
     * mirrors `Dedup.contaminationReport` (13-gram shingles, whole-text
@@ -372,6 +387,8 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
     "t_lang" -> ((s, dir) => documents(s, dir)
       .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))),
+    "t_pack" -> ((s, dir) => Packing.packSequences(documents(s, dir), 2048)),
+    "t_quality_top" -> ((s, dir) => Packing.qualityTopFraction(documents(s, dir), 0.8)),
     "t_len_stats" -> ((s, dir) => documents(s, dir)
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       .groupBy(col("lang"))
@@ -692,17 +709,27 @@ object SparkEntry {
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
     "t_quality" ->
-      s"""WITH q AS (SELECT doc_id,
-         |  CAST(length(text) AS DOUBLE) AS l,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
-         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
-         |  CAST(len(list_filter(string_split($normSql, ' '),
-         |    t -> list_contains($enStop, t))) AS DOUBLE) AS stop_hits
-         |  FROM documents)
-         |SELECT doc_id, round((alpha_chars / greatest(l, 1.0)) * 0.4
-         |  + least((stop_hits / greatest(n_tok, 1.0)) * 3.0, 1.0) * 0.3
-         |  + least(l / 500.0, 1.0) * 0.3, 6) AS quality FROM q""".stripMargin,
+      s"""WITH $qualityCtes
+         |SELECT doc_id, quality FROM q""".stripMargin,
+    "t_quality_top" ->
+      s"""WITH $qualityCtes,
+         |r AS (SELECT doc_id, quality,
+         |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+         |  count(*) OVER () AS tot FROM q)
+         |SELECT doc_id, quality FROM r WHERE rnk <= floor(0.8 * tot)""".stripMargin,
+    "t_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_start,
+        |  tok_start // 2048 AS seq_start,
+        |  (tok_start + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) // 2048 AS seq_end
+        |FROM o""".stripMargin,
     "t_lang" ->
       s"""WITH c AS (SELECT doc_id,
          |  len(list_filter(string_split($normSql, ' '), t -> list_contains($enStop, t))) AS en,

@@ -96,6 +96,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("sequence packing: bucketed prefix-sum equals a global sort; empty docs occupy no space") {
+    import graft.functions.Packing
+    val rows = (0L until 300L).map(i => i -> ("tok " * (1 + (i % 37)).toInt).trim) :+
+      (999L -> "") // empty doc: 0 tokens, must not shift the stream
+    val df = docsDf(rows: _*).repartition(7) // order must not depend on layout
+    val got = Packing.packSequences(df, seqLen = 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // driver-side reference: global sort by (md5(doc_id), doc_id), running offset
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = rows.map { case (id, t) =>
+      (id, if (t.trim.isEmpty) 0L else t.trim.split("\\s+").length.toLong)
+    }.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    var off = 0L
+    ordered.foreach { case (id, n) =>
+      val end = (off + math.max(n, 1L) - 1L) / 64L
+      assert(got(id) == ((n, off, off / 64L, end)), s"doc $id")
+      off += n
+    }
+    assert(got(999L)._1 == 0L)
+  }
+
+  test("quality top-fraction equals global (quality desc, doc_id) rank; exact count kept") {
+    import graft.functions.Packing
+    val rows = (0L until 200L).map(i => i ->
+      (s"the of and to a in is it that was filler$i " * (1 + (i % 9)).toInt))
+    val df = docsDf(rows: _*).repartition(5)
+    val kept = Packing.qualityTopFraction(df, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val expect = all.sortBy { case (id, q) => (-q, id) }.take((0.8 * all.length).toInt).toMap
+    assert(kept == expect)
+    assert(kept.size == 160)
+  }
+
   test("fused L2NormExpr matches the HOF norm; RhpSigExpr is deterministic and sign-stable") {
     val r = new java.util.Random(3)
     val vecs = (0L until 50L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
