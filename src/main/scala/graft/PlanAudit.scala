@@ -126,6 +126,30 @@ object PlanAudit {
       graft.functions.TextAnalysis.sampleStratified(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
         "lang", Map("en" -> 0.5, "zh" -> 0.25)))
+    locally {
+      val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val bench = d.where($"doc_id" % 50 === 0).select($"text")
+      sb ++= explainOf("d_contamination (r03 — expect: benchmark shingle vocab BroadcastExchange'd; the training side is scan + generate + broadcast-hash-join + partial/final count — its ONLY Exchange is the final doc_id agg)",
+        graft.functions.Dedup.contaminationReport(d, bench, 13))
+      sb ++= explainOf("t_pack (r03 — expect: ONE corpus Exchange (hashpartitioning on bucket) feeding the fine window; the coarse prefix scan windows over the 256-row bucket aggregate only; offsets return via BroadcastHashJoin; integer div arithmetic)",
+        graft.functions.Packing.packSequences(d, 2048))
+      locally {
+        // static explain can't show AQE stage reuse — the bucket-totals
+        // branch is built from the SAME window subtree precisely so its
+        // shuffle dedups against the fine window's at runtime (one corpus
+        // scan, not two). Execute and dump the final adaptive plan as proof.
+        val packed = graft.functions.Packing.packSequences(d, 2048)
+        // collect() (500 rows at sf0.001) drives THIS QueryExecution to its
+        // final adaptive plan — foreach would execute a derived one and leave
+        // this plan un-finalized
+        packed.collect()
+        val fin = packed.queryExecution.executedPlan.toString
+        val reused = "ReusedExchange".r.findAllIn(fin).length
+        sb ++= s"## t_pack EXECUTED adaptive plan (expect: the bucket-totals branch rides a ReusedExchange of the fine window's shuffle — the corpus parquet is scanned and shuffled ONCE; any FileScan text under the ReusedExchange is the reused reference's printout, not a second execution; ReusedExchange count = $reused)\n\n```\n$fin\n```\n\n"
+      }
+      sb ++= explainOf("t_quality_top (r03 — expect: same two-level shape — bucket-partitioned row_number window, coarse scan over the ~101-row aggregate, broadcast join + filter; no global-order Exchange of the corpus)",
+        graft.functions.Packing.qualityTopFraction(d, 0.8))
+    }
     sb ++= explainOf("s_ann_lsh (r01 #9 — expect: fused rhp_sig, band join ships ids only, norms per-row pre-join)",
       graft.functions.Similarity.lshTopK(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),

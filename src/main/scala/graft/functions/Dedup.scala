@@ -296,7 +296,9 @@ object Dedup {
       explode(ShingleHashExpr(col("text"), ngram)).as("g"))
     val benchSh = benchmark
       .select(explode(ShingleHashExpr(col("text"), ngram)).as("g")).distinct()
-    docSh.join(benchSh, Seq("g"))
+    // explicit hint: an eval benchmark is definitionally broadcast-small, and
+    // the hint keeps the training side shuffle-free even when stats are stale
+    docSh.join(broadcast(benchSh), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
   }
 

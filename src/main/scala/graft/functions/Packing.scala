@@ -40,12 +40,23 @@ object Packing {
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
       md5(col("doc_id").cast("string").cast("binary")).as("k"))
       .withColumn("bucket", substring(col("k"), 1, 2))
+      // explicit (vacuously true) null-gate: the broadcast join infers
+      // isnotnull(bucket) on the probe side only, which would de-canonicalize
+      // the two consumers of this subtree and defeat exchange reuse — with it
+      // both branches share ONE corpus scan + shuffle (verified in PLANS.md)
+      .where(col("bucket").isNotNull)
     val inBucket = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = keyed.withColumn("loc",
       coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
-    // coarse level: 256 rows — the un-partitioned window here is deliberate
-    val bucketTotals = keyed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+    // bucket totals from the POST-window output (last row's loc + n_tokens),
+    // not from a second pass over `keyed`: aggregating the raw side again
+    // would re-scan the corpus parquet — text column included — twice, while
+    // this branch re-reads only the fine window's shuffle (40-byte rows) via
+    // exchange reuse. coarse level: 256 rows — the un-partitioned window
+    // below is deliberate.
+    val bucketTotals = local.groupBy(col("bucket"))
+      .agg(max(col("loc") + col("n_tokens")).as("btot"))
     val coarse = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketTotals
       .withColumn("boff", coalesce(sum(col("btot")).over(coarse), lit(0L)))
@@ -79,10 +90,15 @@ object Packing {
     val q = documents.select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .withColumn("bucket", floor(col("quality") * 100).cast("int"))
+      // same explicit null-gate as packSequences: keeps both consumers of
+      // the window subtree canonical so the counts branch reuses its shuffle
+      .where(col("bucket").isNotNull)
     val inBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("quality").desc, col("doc_id"))
     val local = q.withColumn("rn", row_number().over(inBucket).cast("long"))
-    val bucketCounts = q.groupBy(col("bucket")).agg(count(lit(1)).as("bcnt"))
+    // bucket counts = max(rn) from the post-window output (single corpus
+    // scan; the totals branch reuses the window's exchange, as in packSequences)
+    val bucketCounts = local.groupBy(col("bucket")).agg(max(col("rn")).as("bcnt"))
     val coarse = Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, -1)
     val all = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
