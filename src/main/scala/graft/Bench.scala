@@ -96,7 +96,8 @@ object Bench {
     // headline queries (same entries the correctness gate runs)
     val headline = Seq("x1_extract_spans", "q_all_text", "q_count_by_kind", "q_doc_stats",
       "q_heading_paths", "q_depth", "q_siblings", "t_fingerprint", "t_quality",
-      "d_minhash", "d_simhash", "d_cc_components", "s_ann_top1", "s_ann_ivf",
+      "d_minhash", "d_simhash", "d_cc_components", "d_contamination",
+      "t_pack", "t_quality_top", "s_ann_top1", "s_ann_ivf",
       "r_q1", "r_top_customers")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
