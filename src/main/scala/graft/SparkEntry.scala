@@ -192,6 +192,29 @@ object SparkEntry {
       .mkString("(VALUES ", ", ", ") AS pii(pii_id, text)")
   }
 
+  /** Planted multi-line corpus shared by the d_line_df / d_drop_lines
+    * queries and their DuckDB VALUES oracles (the synthetic corpus has no
+    * newlines, so line-granularity dedup is exercised on fixed cases:
+    * boilerplate above/below the cap, an all-boilerplate doc that must drop
+    * entirely, blank-line structure that must survive). */
+  private[graft] object LineFixture {
+    private val header = "join our newsletter today"
+    private val footer = "copyright 2026 example corp"
+    private val rare = "terms of service apply"
+    val rows: Seq[(Int, String)] = Seq(
+      1 -> s"$header\nunique line about storage engines\n$footer",
+      2 -> s"$header\n$rare\nunique line about shuffle services\n$footer",
+      3 -> s"$header\n$rare\nunique line about codegen stages\n$footer",
+      4 -> s"$header\nunique line about vectorized reads\n$footer",
+      5 -> s"$header\nunique line about partition pruning",
+      6 -> s"unique opening line\n\nunique closing line\n$footer",
+      7 -> s"$header\n$footer", // all boilerplate: must vanish
+      8 -> "standalone document with a single unique line")
+    def valuesSql: String = rows
+      .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
+      .mkString("(VALUES ", ", ", ") AS ld(doc_id, text)")
+  }
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -436,6 +459,18 @@ object SparkEntry {
     "d_drop_contaminated" -> ((s, dir) => {
       val docs = documents(s, dir)
       Dedup.dropContaminated(docs, benchmarkExcerpts(docs), 13).select(col("doc_id"))
+    }),
+    "d_line_df" -> ((s, _) => {
+      import s.implicits._
+      Dedup.repeatedLines(LineFixture.rows.toDF("doc_id", "text"), 3)
+    }),
+    "d_drop_lines" -> ((s, _) => {
+      import s.implicits._
+      Dedup.dropRepeatedLines(LineFixture.rows.toDF("doc_id", "text"), 3)
+    }),
+    "d_drop_seen" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.dropSeen(docs, docs.where(col("doc_id") % 25 === 0)).select(col("doc_id"))
     }),
     "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
     "d_embed_neardup_lsh" -> ((s, dir) => Dedup.embeddingNearDuplicatesLsh(embeddings(s, dir), 0.9)),
@@ -762,6 +797,24 @@ object SparkEntry {
     "d_contamination" ->
       s"""WITH $contaminationCtes
          |SELECT doc_id, count(*) AS n_collisions FROM hits GROUP BY doc_id""".stripMargin,
+    "d_line_df" ->
+      s"""WITH p AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
+         |  FROM ${LineFixture.valuesSql}),
+         |d AS (SELECT DISTINCT doc_id, line FROM p WHERE trim(line) <> '')
+         |SELECT line, count(*) AS df FROM d GROUP BY line HAVING count(*) > 3""".stripMargin,
+    "d_drop_lines" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+         |  FROM ${LineFixture.valuesSql}),
+         |p AS (SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS pos, UNNEST(ls) AS line FROM t),
+         |bad AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM p WHERE trim(line) <> '')
+         |  GROUP BY line HAVING count(*) > 3),
+         |keep AS (SELECT doc_id, pos, line FROM p WHERE line NOT IN (SELECT line FROM bad))
+         |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
+         |FROM keep GROUP BY doc_id""".stripMargin,
+    "d_drop_seen" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE md5($normSql) NOT IN
+         |  (SELECT md5($normSql) FROM documents WHERE doc_id % 25 = 0)""".stripMargin,
     "d_drop_contaminated" ->
       s"""WITH $contaminationCtes
          |SELECT doc_id FROM documents

@@ -35,6 +35,59 @@ object Dedup {
     withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
   }
 
+  /** Cross-corpus exact dedup: drop every document whose content fingerprint
+    * already appears in `reference` — the "don't re-ingest what the last
+    * crawl already kept" stage. Pure left-anti on the 16-byte fingerprint:
+    * both sides hash map-side in codegen, and Spark's runtime row-level
+    * bloom filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`,
+    * on by default) injects the bloom prefilter into this join shape on its
+    * own — hand-rolling a driver-side bloom would re-schedule what Catalyst
+    * already does, with a collect the optimizer version avoids. */
+  def dropSeen(documents: DataFrame, reference: DataFrame): DataFrame = {
+    val withFp = documents.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val refFp = reference.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    withFp.join(refFp, Seq("fp"), "left_anti").drop("fp")
+  }
+
+  // ----------------------------------------------------- line-level dedup
+
+  /** CCNet/RefinedWeb-style boilerplate report: every distinct non-blank
+    * line whose document frequency exceeds `maxDocFreq` (nav bars, cookie
+    * banners, copyright footers — repeated verbatim across unrelated pages).
+    * Grouped on the line string because the string IS the report payload;
+    * the drop path below keys on 8-byte hashes instead. */
+  def repeatedLines(documents: DataFrame, maxDocFreq: Int = 3): DataFrame =
+    documents.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+      .select(col("line"), col("doc_id")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+
+  /** Remove boilerplate lines (doc frequency > `maxDocFreq`) from every
+    * document, preserving the order and the blank-line structure of what
+    * remains. A document consisting ONLY of boilerplate drops entirely.
+    *
+    * Plan shape: lines explode with their position; the df count and the
+    * anti-join both key on `xxhash64(line)` (8-byte shuffle keys, same
+    * discipline as the shingle ops); the bad-line set is the df tail —
+    * small by construction — so AQE broadcasts the anti-join; reassembly is
+    * one groupBy(doc_id) with an order-restoring array_sort (no window).
+    * Blank lines are structure, not content: never counted, never dropped. */
+  def dropRepeatedLines(documents: DataFrame, maxDocFreq: Int = 3): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val bad = lines.where(trim(col("line")) =!= "")
+      .select(col("lh"), col("doc_id")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select(col("lh"))
+    lines.join(bad, Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text"))
+  }
+
   /** End-to-end near-dedup: drop every document that appears as the larger
     * id of a near-duplicate pair (single-hop greedy keep-first — the
     * standard web-pipeline approximation of connected-component dedup;

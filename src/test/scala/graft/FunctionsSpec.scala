@@ -96,6 +96,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("line dedup: boilerplate above the cap drops, blanks and rare lines survive, all-boilerplate docs vanish") {
+    val header = "nav menu home about contact"
+    val docs = docsDf(
+      1L -> s"$header\nalpha body line",
+      2L -> s"$header\nbeta body line",
+      3L -> s"$header\ngamma body line",
+      4L -> s"$header\nshared rare line\ndelta body line",
+      5L -> s"shared rare line\n\nepsilon body line",
+      6L -> header) // nothing but boilerplate
+    val df = Dedup.repeatedLines(docs, maxDocFreq = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map(header -> 5L)) // docs 1-4 and 6; rare line df=2 stays under the cap
+    val out = Dedup.dropRepeatedLines(docs, maxDocFreq = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha body line", 2L -> "beta body line", 3L -> "gamma body line",
+      4L -> "shared rare line\ndelta body line",
+      5L -> "shared rare line\n\nepsilon body line")) // doc 6 vanished, blank kept
+  }
+
+  test("dropSeen removes exact cross-corpus matches only") {
+    val ref = docsDf(100L -> base, 101L -> "reference-only content")
+    val docs = docsDf(1L -> base, 2L -> ("  " + base.toUpperCase + " "), 3L -> "fresh content")
+    val kept = Dedup.dropSeen(docs, ref).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L)) // doc 2 matches via normalized fingerprint
+  }
+
   test("sequence packing: bucketed prefix-sum equals a global sort; empty docs occupy no space") {
     import graft.functions.Packing
     val rows = (0L until 300L).map(i => i -> ("tok " * (1 + (i % 37)).toInt).trim) :+
