@@ -154,7 +154,9 @@ object SparkEntry {
     * mirrors `Dedup.contaminationReport` (13-gram shingles, whole-text
     * fallback for short docs) against the deterministic synthetic benchmark
     * (first-30-token excerpts of every doc_id % 50 == 0 document, see
-    * [[benchmarkExcerpts]]). String n-grams here vs XXH64-hashed n-grams on
+    * [[benchmarkExcerpts]]). Benchmark items route disjointly as in the
+    * Spark code: > 13 tokens → n-gram hits, ≤ 13 tokens → token-boundary
+    * containment hits. String n-grams here vs XXH64-hashed n-grams on
     * the Spark side — identical join/count up to 64-bit hash collisions,
     * the same equivalence the d_ngram_jaccard oracle already rests on. */
   private val contaminationCtes: String =
@@ -164,12 +166,16 @@ object SparkEntry {
        |      i -> array_to_string(toks[i:i+12], ' ')))
        |  ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
        |bt AS (SELECT toks[1:30] AS btoks FROM t WHERE doc_id % 50 = 0),
-       |bsh AS (SELECT DISTINCT UNNEST(CASE WHEN len(btoks) > 13 THEN
-       |    list_transform(range(1, len(btoks) - 11),
-       |      i -> array_to_string(btoks[i:i+12], ' '))
-       |  ELSE [array_to_string(btoks, ' ')] END) AS g FROM bt),
+       |bsh AS (SELECT DISTINCT UNNEST(list_transform(range(1, len(btoks) - 11),
+       |      i -> array_to_string(btoks[i:i+12], ' '))) AS g
+       |  FROM bt WHERE len(btoks) > 13),
+       |bshort AS (SELECT DISTINCT array_to_string(btoks, ' ') AS item FROM bt
+       |  WHERE len(btoks) <= 13 AND array_to_string(btoks, ' ') <> ''),
        |dg AS (SELECT doc_id, UNNEST(sh) AS g FROM dsh),
-       |hits AS (SELECT doc_id, g FROM dg JOIN bsh USING (g))""".stripMargin
+       |hits_g AS (SELECT doc_id FROM dg JOIN bsh USING (g)),
+       |hits_s AS (SELECT t.doc_id FROM t JOIN bshort b
+       |  ON instr(' ' || array_to_string(t.toks, ' ') || ' ', ' ' || b.item || ' ') > 0),
+       |hits AS (SELECT doc_id FROM hits_g UNION ALL SELECT doc_id FROM hits_s)""".stripMargin
 
   // -------------------------------------------------------------- queries
 
@@ -750,7 +756,7 @@ object SparkEntry {
       s"""WITH $qualityCtes,
          |r AS (SELECT doc_id, quality,
          |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
-         |  count(*) OVER () AS tot FROM q)
+         |  count(*) OVER () AS tot FROM q WHERE quality IS NOT NULL)
          |SELECT doc_id, quality FROM r WHERE rnk <= floor(0.8 * tot)""".stripMargin,
     "t_pack" ->
       """WITH t AS (SELECT doc_id,

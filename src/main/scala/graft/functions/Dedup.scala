@@ -38,11 +38,15 @@ object Dedup {
   /** Cross-corpus exact dedup: drop every document whose content fingerprint
     * already appears in `reference` — the "don't re-ingest what the last
     * crawl already kept" stage. Pure left-anti on the 16-byte fingerprint:
-    * both sides hash map-side in codegen, and Spark's runtime row-level
-    * bloom filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`,
-    * on by default) injects the bloom prefilter into this join shape on its
-    * own — hand-rolling a driver-side bloom would re-schedule what Catalyst
-    * already does, with a collect the optimizer version avoids. */
+    * both sides hash map-side in codegen, so what shuffles is (fp[, id]) —
+    * never the payloads. Note Spark's runtime bloom-filter injection does
+    * NOT fire for left_anti (InjectRuntimeFilter prunes only Inner/LeftSemi
+    * and the outer sides — pruning the preserved side of an anti join can't
+    * be expressed as a row filter), so at 10^10-document scale this is an
+    * honest two-sided 16-byte-key shuffle — a few hundred GB cluster-wide,
+    * the standard cost of exact cross-corpus dedup. A driver-side bloom
+    * would need ~GBs collected for a crawl-scale reference; if the reference
+    * is small, AQE broadcasts it and the corpus side never shuffles at all. */
   def dropSeen(documents: DataFrame, reference: DataFrame): DataFrame = {
     val withFp = documents.withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val refFp = reference.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
@@ -56,12 +60,14 @@ object Dedup {
     * banners, copyright footers — repeated verbatim across unrelated pages).
     * Grouped on the line string because the string IS the report payload;
     * the drop path below keys on 8-byte hashes instead. */
-  def repeatedLines(documents: DataFrame, maxDocFreq: Int = 3): DataFrame =
+  def repeatedLines(documents: DataFrame, maxDocFreq: Int = 3): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     documents.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
       .where(trim(col("line")) =!= "")
       .select(col("line"), col("doc_id")).distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq)
+  }
 
   /** Remove boilerplate lines (doc frequency > `maxDocFreq`) from every
     * document, preserving the order and the blank-line structure of what
@@ -74,6 +80,7 @@ object Dedup {
     * one groupBy(doc_id) with an order-restoring array_sort (no window).
     * Blank lines are structure, not content: never counted, never dropped. */
   def dropRepeatedLines(documents: DataFrame, maxDocFreq: Int = 3): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val lines = documents
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", xxhash64(col("line")))
@@ -330,36 +337,62 @@ object Dedup {
   // ----------------------------------------------------- decontamination
 
   /** Benchmark decontamination (the GPT-3/PaLM n-gram collision method):
-    * count, per training document, the distinct word n-grams it shares with
-    * an evaluation set. A training corpus must not contain eval data —
-    * leaked benchmark text inflates measured model quality — so this stage
-    * is as standard in a training pipeline as dedup itself.
+    * count, per training document, its collisions with an evaluation set. A
+    * training corpus must not contain eval data — leaked benchmark text
+    * inflates measured model quality — so this stage is as standard in a
+    * training pipeline as dedup itself.
     *
-    * Plan shape for 100 TB training vs KB-GB benchmark: both sides hash
-    * shingles to 8-byte longs map-side (fused [[ShingleHashExpr]], same
-    * discipline as [[ngramJaccardPairs]]); the benchmark's distinct n-gram
-    * vocabulary is tiny, so AQE broadcasts it and the training corpus never
-    * shuffles — one scan, one broadcast-join, one partial/final count.
-    * Documents sharing no n-gram produce no row (the common case; compose
+    * Benchmark items route disjointly by length (so nothing double-counts):
+    *  - items LONGER than `ngram` tokens → distinct shared word n-grams,
+    *    hashed to 8-byte longs map-side (fused [[ShingleHashExpr]], same
+    *    discipline as [[ngramJaccardPairs]]) and joined against the doc
+    *    shingles;
+    *  - items of `ngram` tokens or fewer — a 10-token eval question has NO
+    *    13-gram, so the hash path is structurally blind to it — → exact
+    *    token-boundary containment (`' item '` inside the space-padded
+    *    normalized doc), each matched item counting as one collision.
+    *
+    * Plan shape for 100 TB training vs KB-GB benchmark: the n-gram
+    * vocabulary and the short-item list both broadcast (`hintBroadcast`,
+    * default true — set false only for a pathological multi-GB "benchmark",
+    * where AQE picks the join side by measured size instead); the training
+    * corpus never shuffles — its only Exchange is the final per-doc count.
+    * The short-item pass costs a second corpus scan; it exists because
+    * correctness beats scan count here — a decontamination stage that
+    * silently passes short eval items is worse than a slower one.
+    * Documents sharing nothing produce no row (the common case; compose
     * with [[dropContaminated]] for the filter form).
     */
   def contaminationReport(documents: DataFrame, benchmark: DataFrame,
-                          ngram: Int = 13): DataFrame = {
+                          ngram: Int = 13, hintBroadcast: Boolean = true): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    def hinted(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
+    val bnorm = benchmark.select(TextAnalysis.normalized(col("text")).as("item"))
+      .where(col("item") =!= "")
+      .withColumn("n_tok", size(split(col("item"), " ")))
+    val benchSh = bnorm.where(col("n_tok") > ngram)
+      .select(explode(ShingleHashExpr(col("item"), ngram)).as("g")).distinct()
+    val shortItems = bnorm.where(col("n_tok") <= ngram).select(col("item")).distinct()
     val docSh = documents.select(col("doc_id"),
       explode(ShingleHashExpr(col("text"), ngram)).as("g"))
-    val benchSh = benchmark
-      .select(explode(ShingleHashExpr(col("text"), ngram)).as("g")).distinct()
-    // explicit hint: an eval benchmark is definitionally broadcast-small, and
-    // the hint keeps the training side shuffle-free even when stats are stale
-    docSh.join(broadcast(benchSh), Seq("g"))
+    val ngramHits = docSh.join(hinted(benchSh), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
+    val shortHits = documents
+      .select(col("doc_id"),
+        concat(lit(" "), TextAnalysis.normalized(col("text")), lit(" ")).as("padded"))
+      .join(hinted(shortItems), expr("instr(padded, concat(' ', item, ' ')) > 0"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
+    ngramHits.unionByName(shortHits)
+      .groupBy("doc_id").agg(sum(col("n_collisions")).as("n_collisions"))
   }
 
-  /** Filter form: drop every training document sharing at least
-    * `minCollisions` distinct n-grams with the benchmark. */
+  /** Filter form: drop every training document with at least `minCollisions`
+    * benchmark collisions (shared n-grams + matched short items). */
   def dropContaminated(documents: DataFrame, benchmark: DataFrame,
-                       ngram: Int = 13, minCollisions: Int = 1): DataFrame = {
-    val flagged = contaminationReport(documents, benchmark, ngram)
+                       ngram: Int = 13, minCollisions: Int = 1,
+                       hintBroadcast: Boolean = true): DataFrame = {
+    require(minCollisions >= 1, s"minCollisions must be >= 1, got $minCollisions")
+    val flagged = contaminationReport(documents, benchmark, ngram, hintBroadcast)
       .where(col("n_collisions") >= minCollisions).select(col("doc_id"))
     documents.join(flagged, Seq("doc_id"), "left_anti")
   }

@@ -35,6 +35,7 @@ object Packing {
     * double-typed division would silently lose tokens.
     */
   def packSequences(documents: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     val keyed = documents.select(
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -87,11 +88,17 @@ object Packing {
     * skew of ONE window partition, not a single-task global sort.
     */
   def qualityTopFraction(documents: DataFrame, keepFrac: Double): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in [0, 1], got $keepFrac")
     val q = documents.select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .withColumn("bucket", floor(col("quality") * 100).cast("int"))
-      // same explicit null-gate as packSequences: keeps both consumers of
-      // the window subtree canonical so the counts branch reuses its shuffle
+      // null-text docs have null quality: by contract they are excluded from
+      // BOTH the ranking and the denominator (an unscorable doc is not part
+      // of "the corpus" being pruned — mirrored in the t_quality_top
+      // oracle). The filter doubles as the canonicalizing null-gate that
+      // lets the counts branch reuse the window's shuffle (see
+      // packSequences).
       .where(col("bucket").isNotNull)
     val inBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("quality").desc, col("doc_id"))

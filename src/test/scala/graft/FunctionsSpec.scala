@@ -96,6 +96,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("contamination short-item route: a <=13-token eval item inside a LONG doc is caught at token boundaries") {
+    val item = "what is the capital of france" // 6 tokens: no 13-gram exists
+    val docs = docsDf(
+      1L -> s"padding words before the question $item and padding words after it too yes", // contains item
+      2L -> "the capital city of francesco is not a question about france at all here", // no boundary match
+      3L -> s"prefix-$item", // 'prefix-what' is one token: leading boundary fails, no hit
+      4L -> item) // exact equality is also a containment hit
+    val bench = docsDf(10L -> item).select(col("text"))
+    val rep = Dedup.contaminationReport(docs, bench, 13).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(1L -> 1L, 4L -> 1L))
+    val kept = Dedup.dropContaminated(docs, bench, 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("line dedup: boilerplate above the cap drops, blanks and rare lines survive, all-boilerplate docs vanish") {
     val header = "nav menu home about contact"
     val docs = docsDf(
