@@ -417,6 +417,7 @@ object SparkEntry {
     "t_lang" -> ((s, dir) => documents(s, dir)
       .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))),
     "t_pack" -> ((s, dir) => Packing.packSequences(documents(s, dir), 2048)),
+    "t_unigram_nll" -> ((s, dir) => TextAnalysis.unigramLogProb(documents(s, dir))),
     "t_quality_top" -> ((s, dir) => Packing.qualityTopFraction(documents(s, dir), 0.8)),
     "t_len_stats" -> ((s, dir) => documents(s, dir)
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -758,6 +759,16 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
          |  count(*) OVER () AS tot FROM q WHERE quality IS NOT NULL)
          |SELECT doc_id, quality FROM r WHERE rnk <= floor(0.8 * tot)""".stripMargin,
+    "t_unigram_nll" ->
+      s"""WITH tk AS (SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS tok
+         |  FROM documents),
+         |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+         |c AS (SELECT tok, count(*) AS c FROM tk2 GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+         |v AS (SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT 65536)
+         |SELECT doc_id,
+         |  round(-avg(log2(CAST(coalesce(v.c, 1) AS DOUBLE) / n.n)), 6) AS nll
+         |FROM tk2 LEFT JOIN v USING (tok) CROSS JOIN n GROUP BY doc_id""".stripMargin,
     "t_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

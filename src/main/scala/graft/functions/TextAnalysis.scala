@@ -157,6 +157,40 @@ object TextAnalysis {
     * explode + partial/final count aggregate (map-side combine absorbs the
     * Zipf skew of hot tokens), then a per-language top-k window over the
     * (languages × vocab)-sized aggregate — tiny relative to the corpus. */
+  /** CCNet-style language-model quality signal without an external model:
+    * per-document mean negative log2-probability of its tokens under the
+    * corpus's OWN unigram distribution (the corpus as its own LM). High nll
+    * = tokens the corpus rarely produces — gibberish, encoding damage, rare
+    * boilerplate; low nll = fluent-for-this-corpus text. The real CCNet
+    * scores against a Wikipedia KenLM; a self-unigram model is the honest
+    * sandbox analog and already separates damaged docs from clean ones.
+    *
+    * Model: p(w) = count(w)/N over the whole corpus, restricted to the
+    * `vocabSize` most frequent tokens (ties broken lexicographically);
+    * out-of-vocab tokens get the 1/N floor. Documents with zero tokens are
+    * unscorable and produce no row.
+    *
+    * Plan shape at 100 TB: pass 1 is one explode + partial/final count
+    * (map-side combine absorbs Zipf skew) and a distributed top-V
+    * (TakeOrdered) over the vocab-sized aggregate — the "model" is a few MB
+    * and broadcasts, N is a 1-row broadcast cross join; pass 2 re-scans the
+    * corpus, joins tokens against the broadcast vocab and averages per doc
+    * — its only Exchange is the final per-doc agg. Nothing collects. */
+  def unigramLogProb(documents: DataFrame, vocabSize: Int = 65536): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+    val total = counts.agg(sum(col("c")).as("n"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(-avg(log2(coalesce(col("c"), lit(1L)).cast("double") /
+        col("n").cast("double"))), 6).as("nll"))
+  }
+
   def topTermsPerLang(documents: DataFrame, k: Int): DataFrame = {
     val terms = documents
       .select(col("lang"), explode(tokens(col("text"))).as("term"))

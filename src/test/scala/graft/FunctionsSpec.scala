@@ -112,6 +112,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("unigram nll: matches hand computation, OOV floor applies, empty docs unscored") {
+    // corpus tokens: a a a b b c  -> N=6; vocabSize=2 keeps {a:3, b:2}; c is OOV (p=1/6)
+    val docs = docsDf(1L -> "a a a", 2L -> "b b c", 3L -> "")
+    val got = TextAnalysis.unigramLogProb(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val lg = (x: Double) => math.log(x) / math.log(2.0)
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no tokens
+    assert(got(1L) == r6(-(3 * lg(3.0 / 6.0)) / 3))
+    assert(got(2L) == r6(-(2 * lg(2.0 / 6.0) + lg(1.0 / 6.0)) / 3))
+    // rarer content scores strictly worse
+    assert(got(2L) > got(1L))
+  }
+
   test("line dedup: boilerplate above the cap drops, blanks and rare lines survive, all-boilerplate docs vanish") {
     val header = "nav menu home about contact"
     val docs = docsDf(
