@@ -149,6 +149,13 @@ object PlanAudit {
       }
       sb ++= explainOf("t_quality_top (r03 — expect: same two-level shape — bucket-partitioned row_number window, coarse scan over the ~101-row aggregate, broadcast join + filter; no global-order Exchange of the corpus)",
         graft.functions.Packing.qualityTopFraction(d, 0.8))
+      locally {
+        val nll = graft.functions.TextAnalysis.unigramLogProb(d)
+        nll.collect()
+        val fin = nll.queryExecution.executedPlan.toString
+        val reused = "ReusedExchange".r.findAllIn(fin).length
+        sb ++= s"## t_unigram_nll EXECUTED adaptive plan (expect: the corpus-total branch (sum over token counts) reuses the vocab branch's token-count shuffle — ReusedExchange count = $reused; score pass joins the broadcast vocab + 1-row total, its only Exchange the per-doc agg)\n\n```\n$fin\n```\n\n"
+      }
     }
     sb ++= explainOf("s_ann_lsh (r01 #9 — expect: fused rhp_sig, band join ships ids only, norms per-row pre-join)",
       graft.functions.Similarity.lshTopK(
