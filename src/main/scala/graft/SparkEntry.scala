@@ -278,6 +278,8 @@ object SparkEntry {
       val d = Fixtures.docs(s)
       SpanQueries.concatDocs(d, d).select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
     }),
+    "m_pack_interleaved" -> ((s, _) =>
+      Packing.packInterleaved(Fixtures.docs(s), 2048, imageTokens = 64)),
     "m_media_join" -> ((s, _) =>
       Multimodal.joinImageSpans(Fixtures.docs(s), Fixtures.media(s))
         .select(col("doc_id"), col("media_ref"), col("offset"), col("content_type"), col("name"))),
@@ -769,6 +771,22 @@ object SparkEntry {
          |SELECT doc_id,
          |  round(-avg(log2(CAST(coalesce(v.c, 1) AS DOUBLE) / n.n)), 6) AS nll
          |FROM tk2 LEFT JOIN v USING (tok) CROSS JOIN n GROUP BY doc_id""".stripMargin,
+    "m_pack_interleaved" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(spans, s ->
+         |    CASE WHEN s.kind = 'image' THEN 64
+         |      ELSE CASE WHEN length(trim(s.text)) = 0 THEN 0
+         |        ELSE len(regexp_split_to_array(trim(s.text), '\\s+')) END
+         |    END)), 0) AS BIGINT) AS n_tokens,
+         |  md5(doc_id) AS k FROM ${fixturesSql("docs")}),
+         |o AS (SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+         |  FROM t)
+         |SELECT doc_id, n_tokens, tok_start,
+         |  tok_start // 2048 AS seq_start,
+         |  (tok_start + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) // 2048 AS seq_end
+         |FROM o""".stripMargin,
     "t_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -34,11 +34,31 @@ object Packing {
     * (`div`, not `/`): at 100 TB the stream offset exceeds 2^53 and a
     * double-typed division would silently lose tokens.
     */
-  def packSequences(documents: DataFrame, seqLen: Int): DataFrame = {
+  def packSequences(documents: DataFrame, seqLen: Int): DataFrame =
+    packByCount(documents.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")), seqLen)
+
+  /** Packing for INTERLEAVED text+media documents — the extraction engine's
+    * own output shape `(doc_id, spans)`: each image span occupies a fixed
+    * `imageTokens` slot in the training stream (the standard interleaved-
+    * pretraining accounting: a vision encoder emits a constant patch-token
+    * budget per image), text spans their whitespace token count. The span
+    * walk is one per-row HOF `aggregate` — no explode, no shuffle — feeding
+    * the same two-level prefix-sum as [[packSequences]]. */
+  def packInterleaved(docs: DataFrame, seqLen: Int, imageTokens: Int = 64): DataFrame = {
+    require(imageTokens >= 0, s"imageTokens must be >= 0, got $imageTokens")
+    val spanTokens = aggregate(col("spans"), lit(0L), (acc, s) =>
+      acc + when(s.getField("kind") === "image", lit(imageTokens.toLong))
+        .otherwise(TextAnalysis.tokenCount(s.getField("text")).cast("long")))
+    packByCount(docs.select(col("doc_id"), spanTokens.as("n_tokens")), seqLen)
+  }
+
+  /** The shared two-level concat-and-cut core over `(doc_id, n_tokens)`. */
+  private def packByCount(counted: DataFrame, seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val keyed = documents.select(
+    val keyed = counted.select(
       col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      col("n_tokens"),
       md5(col("doc_id").cast("string").cast("binary")).as("k"))
       .withColumn("bucket", substring(col("k"), 1, 2))
       // explicit (vacuously true) null-gate: the broadcast join infers

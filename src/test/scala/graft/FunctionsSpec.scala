@@ -175,6 +175,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(999L)._1 == 0L)
   }
 
+  test("interleaved packing: image spans cost the fixed token budget, text spans their count") {
+    import graft.functions.Packing
+    import graft.model.{Doc, Span}
+    import spark.implicits._
+    val docs = Seq(
+      Doc("a", Seq(Span("paragraph", "one two three", "", 0),
+                   Span("image", "[Image: x.png]", "rId1", 1),
+                   Span("heading1", "four five", "", 2))),
+      Doc("b", Seq(Span("image", "[Image: y.png]", "rId2", 0))),
+      Doc("c", Seq.empty)).toDF()
+    val got = Packing.packInterleaved(docs, seqLen = 8, imageTokens = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> (3L + 10L + 2L), "b" -> 10L, "c" -> 0L))
+    // offsets are the same machinery as packSequences: contiguous, gap-free
+    val rows = Packing.packInterleaved(docs, 8, 10).collect()
+      .map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach { case Array((s0, n0), (s1, _)) => assert(s1 == s0 + n0); case _ => }
+  }
+
   test("quality top-fraction equals global (quality desc, doc_id) rank; exact count kept") {
     import graft.functions.Packing
     val rows = (0L until 200L).map(i => i ->
