@@ -85,6 +85,42 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(!got.map(_._1).contains(3L))
   }
 
+  test("streaming decontamination drops hash-route and short-item-route docs on arrival, parity with batch") {
+    import spark.implicits._
+    val longItem = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val shortItem = "what is the capital of france"
+    val bench = Seq(longItem, shortItem).toDF("text")
+    val docs = Seq(
+      1L -> s"intro words then $longItem and trailing words", // 13-gram hash hit
+      2L -> s"padding $shortItem padding",                    // short containment hit
+      3L -> "completely clean document with nothing shared at all beyond stray words")
+    val model = StreamingExtract.benchmarkModel(bench, 13)
+    assert(model.shingleHashes.nonEmpty && model.shortItems.sameElements(Array(shortItem)))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_c").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    docs.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/wave=1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val q = StreamingExtract.dropContaminatedStream(src, model)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.table("decon_stream").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // exact parity with the batch op at minCollisions = 1
+    val batchKept = graft.functions.Dedup
+      .dropContaminated(docs.toDF("doc_id", "text"), bench, 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept)
+  }
+
   test("streaming health counts aggregate docs/quarantine/spans per window") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream_h").toString
