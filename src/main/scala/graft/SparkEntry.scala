@@ -38,7 +38,7 @@ object SparkEntry {
   // DuckDB expression fragments shared across oracles (kept in one place so
   // Spark- and SQL-side semantics stay in lockstep).
 
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val normSql = "trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))"
   private def stopList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
   private val enStop = stopList(Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "was"))
   private val deStop = stopList(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "sich"))
@@ -142,7 +142,7 @@ object SparkEntry {
        |  CAST(length(text) AS DOUBLE) AS l,
        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+       |    ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) END AS DOUBLE) AS n_tok,
        |  CAST(len(list_filter(string_split($normSql, ' '),
        |    t -> list_contains($enStop, t))) AS DOUBLE) AS stop_hits
        |  FROM documents),
@@ -750,7 +750,7 @@ object SparkEntry {
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "t_token_count" ->
       """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
     "t_quality" ->
       s"""WITH $qualityCtes
@@ -776,7 +776,7 @@ object SparkEntry {
          |  CAST(coalesce(list_sum(list_transform(spans, s ->
          |    CASE WHEN s.kind = 'image' THEN 64
          |      ELSE CASE WHEN length(trim(s.text)) = 0 THEN 0
-         |        ELSE len(regexp_split_to_array(trim(s.text), '\\s+')) END
+         |        ELSE len(regexp_split_to_array(trim(s.text), '[ \\t\\n\\f\\r]+')) END
          |    END)), 0) AS BIGINT) AS n_tokens,
          |  md5(doc_id) AS k FROM ${fixturesSql("docs")}),
          |o AS (SELECT doc_id, n_tokens,
@@ -790,7 +790,7 @@ object SparkEntry {
     "t_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tokens,
         |  md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
         |o AS (SELECT doc_id, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
@@ -814,7 +814,7 @@ object SparkEntry {
          |  ELSE 'es' END AS lang_guess FROM c""".stripMargin,
     "t_len_stats" ->
       """WITH t AS (SELECT lang, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents)
+        |  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs, min(n_tokens) AS min_tok, max(n_tokens) AS max_tok,
         |  round(quantile_cont(n_tokens, 0.5), 4) AS p50,
         |  round(quantile_cont(n_tokens, 0.9), 4) AS p90

@@ -18,21 +18,29 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicates: groupBy content fingerprint. Returns one row per
-    * duplicated fingerprint with group size and the keeper (min doc_id). */
+    * duplicated fingerprint with group size and the keeper (min doc_id).
+    * Null-text docs have no fingerprint and are not comparable — they are
+    * neither reported here nor dropped by [[dropExactDuplicates]]. */
   def exactDuplicates(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .where(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .where(col("n_docs") > 1)
 
   /** Exact-dedup the corpus: keep the min doc_id per fingerprint. Window-free
     * formulation (groupBy + semi join) so AQE can handle skewed fingerprints.
-    */
+    * Null-text docs pass through untouched: a semi join's non-null-safe
+    * equality would otherwise silently drop EVERY null-fp row — keeper
+    * included. */
   def dropExactDuplicates(documents: DataFrame): DataFrame = {
     val withFp = documents.withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
+    val keepers = withFp.where(col("fp").isNotNull)
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    withFp.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      .unionByName(withFp.where(col("fp").isNull))
+      .drop("fp")
   }
 
   /** Cross-corpus exact dedup: drop every document whose content fingerprint
@@ -245,6 +253,12 @@ object Dedup {
   def minHashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             numHashes: Int = 32, numBands: Int = 8,
                             ngram: Int = 3): DataFrame = {
+    // numBands > numHashes would make rowsPerBand 0 — every band hash a
+    // per-band CONSTANT shared by all documents, degenerating the band
+    // self-join into the full O(N²) cross product this function exists to
+    // avoid; non-divisible combos would silently ignore trailing slots
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
     // fused text→signature expression: one eval per row (a CodegenFallback
     // expression with HOF children drags those children into interpreted
@@ -264,13 +278,16 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     // exact-Jaccard verification ONLY on the (small) candidate set: texts
-    // join onto the pairs, shingles computed post-join (fallback-free plan,
-    // candidate rows only)
+    // join onto the pairs; shingles AND signatures recomputed post-join on
+    // candidate rows only. Joining `sigs` back instead would re-evaluate the
+    // fused MinHashTextExpr over the FULL corpus twice more (the sa/sb
+    // branches shuffle on different keys, so nothing reuses) — the exact
+    // full-corpus cost the fused one-eval design exists to pay once.
     val ta = documents.select(col("doc_id").as("a"), col("text").as("text_a"))
     val tb = documents.select(col("doc_id").as("b"), col("text").as("text_b"))
-    val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
-    cand.join(ta, "a").join(tb, "b").join(sa, "a").join(sb, "b")
+    cand.join(ta, "a").join(tb, "b")
+      .withColumn("sig_a", MinHashTextExpr(col("text_a"), numHashes, ngram))
+      .withColumn("sig_b", MinHashTextExpr(col("text_b"), numHashes, ngram))
       .withColumn("sh_a", TextAnalysis.wordShingles(col("text_a"), ngram))
       .withColumn("sh_b", TextAnalysis.wordShingles(col("text_b"), ngram))
       .withColumn("est_jaccard",
@@ -325,10 +342,14 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sizes = sh.select(col("doc_id"), col("sh"))
+    // exact Jaccard recomputed from text on CANDIDATE rows only — joining
+    // `sh` back would re-run the fused shingle expression over the full
+    // corpus twice more (different join keys defeat exchange reuse)
     pairs
-      .join(sizes.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .join(documents.select(col("doc_id").as("a"), col("text").as("text_a")), Seq("a"))
+      .join(documents.select(col("doc_id").as("b"), col("text").as("text_b")), Seq("b"))
+      .withColumn("sh_a", ShingleHashExpr(col("text_a"), n))
+      .withColumn("sh_b", ShingleHashExpr(col("text_b"), n))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
@@ -363,16 +384,26 @@ object Dedup {
     * Documents sharing nothing produce no row (the common case; compose
     * with [[dropContaminated]] for the filter form).
     */
-  def contaminationReport(documents: DataFrame, benchmark: DataFrame,
-                          ngram: Int = 13, hintBroadcast: Boolean = true): DataFrame = {
+  /** Benchmark items normalized and routed by length: (distinct shingle-hash
+    * vocabulary of the > `ngram`-token items, distinct ≤ `ngram`-token
+    * items). The single source of the routing rule — shared by the batch
+    * report and the streaming [[graft.streaming.StreamingExtract.benchmarkModel]]
+    * so the two paths cannot drift. */
+  private[graft] def benchRouting(benchmark: DataFrame, ngram: Int): (DataFrame, DataFrame) = {
     require(ngram >= 1, s"ngram must be >= 1, got $ngram")
-    def hinted(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     val bnorm = benchmark.select(TextAnalysis.normalized(col("text")).as("item"))
       .where(col("item") =!= "")
       .withColumn("n_tok", size(split(col("item"), " ")))
     val benchSh = bnorm.where(col("n_tok") > ngram)
       .select(explode(ShingleHashExpr(col("item"), ngram)).as("g")).distinct()
     val shortItems = bnorm.where(col("n_tok") <= ngram).select(col("item")).distinct()
+    (benchSh, shortItems)
+  }
+
+  def contaminationReport(documents: DataFrame, benchmark: DataFrame,
+                          ngram: Int = 13, hintBroadcast: Boolean = true): DataFrame = {
+    def hinted(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
+    val (benchSh, shortItems) = benchRouting(benchmark, ngram)
     val docSh = documents.select(col("doc_id"),
       explode(ShingleHashExpr(col("text"), ngram)).as("g"))
     val ngramHits = docSh.join(hinted(benchSh), Seq("g"))
@@ -405,15 +436,26 @@ object Dedup {
     * drag them into interpreted eval). */
   def simHash(text: Column): Column = SimHashTextExpr(text)
 
-  /** SimHash near-dups: band the 64-bit signature into four 16-bit chunks
-    * (pigeonhole: hamming distance <= 3 → at least one identical chunk),
-    * join on chunks, verify hamming distance. */
+  /** SimHash near-dups: band the 64-bit signature into `maxHamming + 1`
+    * chunks — the pigeonhole bound: ≤ maxHamming differing bits cannot touch
+    * every chunk, so a true near-dup pair always shares one verbatim — join
+    * on chunks, verify the exact hamming distance. (The chunk count was
+    * previously hardcoded to 4, silently losing recall for any radius > 3.)
+    * Default radius 3 keeps the classic 4×16-bit layout. Wider radii mean
+    * narrower chunks and hotter buckets — the usual LSH recall/cost dial. */
   def simHashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val numChunks = maxHamming + 1
+    val starts = (0 to numChunks).map(i => i * 64 / numChunks)
+    val chunks = (0 until numChunks).map { i =>
+      val width = starts(i + 1) - starts(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftright(col("sig"), starts(i)).bitwiseAND(lit(mask))
+    }
     val sigs = documents.select(col("doc_id"), simHash(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band_idx", "chunk")))
+      posexplode(array(chunks: _*)).as(Seq("band_idx", "chunk")))
     val a = banded.select(col("band_idx"), col("chunk"), col("doc_id").as("a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("chunk"), col("doc_id").as("b"), col("sig").as("sig_b"))
     a.join(b, Seq("band_idx", "chunk")).where(col("a") < col("b"))

@@ -96,7 +96,7 @@ case class ExtractSpansExpr(left: Expression, right: Expression, annotate: Boole
     var i = 0
     while (i < md.numElements()) {
       val k = ks.getUTF8String(i); val v = if (vs.isNullAt(i)) null else vs.getUTF8String(i)
-      if (k != null) b += k.toString.toLowerCase -> (if (v == null) "" else v.toString)
+      if (k != null) b += k.toString.toLowerCase(java.util.Locale.ROOT) -> (if (v == null) "" else v.toString)
       i += 1
     }
     b.result()

@@ -126,7 +126,7 @@ object SketchTokens {
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def tokenize(text: String): Array[String] = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = lower.length

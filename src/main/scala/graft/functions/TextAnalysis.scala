@@ -10,10 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The whitespace class, written out EXPLICITLY rather than as `\s`:
+    * Java's `\s` additionally matches U+000B (vertical tab) while the
+    * DuckDB oracle's RE2 `\s` does not — an implicit-class regex silently
+    * diverges across the two engines on such text. This explicit class is
+    * also exactly `SketchTokens.isWs`, so the HOF ops and the fused sketch
+    * expressions tokenize identically. */
+  private[graft] val wsClass = "[ \\t\\n\\f\\r]+"
+
   /** Whitespace-collapse + lowercase normalization (shared by fingerprint +
     * dedup; deterministic and engine-portable). */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), wsClass, " "))
 
   /** Content fingerprint = md5 of the normalized text — exact-dup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
@@ -21,14 +29,18 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(split(trim(text), wsClass)))
 
   /** BPE-ish subword count estimate: word-piece regex split — counts runs of
     * letters, digits, and single punctuation marks the way byte-pair
-    * tokenizers fragment text (upper bound of the true BPE length). */
+    * tokenizers fragment text (upper bound of the true BPE length). The
+    * zero-width split leaves a phantom empty string when the text ends at a
+    * boundary (Java split keeps trailing empties under a lookaround
+    * pattern); only non-empty pieces count. */
   def subwordCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")))
+      .otherwise(size(array_remove(
+        split(trim(text), "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), "")))
 
   private val enStop = Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "was")
   private val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "sich")
@@ -48,7 +60,10 @@ object TextAnalysis {
     val en = stopHits(text, enStop); val de = stopHits(text, deStop)
     val fr = stopHits(text, frStop); val es = stopHits(text, esStop)
     val m = greatest(en, de, fr, es)
-    when(m === 0, lit("und"))
+    // null text → null hits → every condition below is null (skipped) → the
+    // otherwise() would confidently label a null doc "es"; gate it first
+    when(text.isNull, lit("und"))
+      .when(m === 0, lit("und"))
       .when(en === m, lit("en")).when(de === m, lit("de"))
       .when(fr === m, lit("fr")).otherwise(lit("es"))
   }

@@ -57,7 +57,7 @@ object Extractor {
 
   /** `DeterminePropertyType` (`DocumentPropertyHelpers.cs:24-31`). */
   private[graft] def propertyTypeName(name: String): String = {
-    val n = name.toLowerCase
+    val n = name.toLowerCase(java.util.Locale.ROOT)
     if (CoreProps.contains(n)) "Core"
     else if (ExtendedProps.contains(n)) "Extended"
     else "Custom"
@@ -183,11 +183,11 @@ object Extractor {
       val a = Grammar.parseAttrs(s.text)
       a.getOrElse("id", "") -> a.getOrElse("url", "")
     }.toMap
-    // meta keys are usually already lowercase (String.toLowerCase returns
+    // meta keys are usually already lowercase (String.toLowerCase(java.util.Locale.ROOT) returns
     // `this` when unchanged): skip the per-document map rebuild then
     val lowerMeta =
-      if (meta.forall(kv => kv._1.toLowerCase eq kv._1)) meta
-      else meta.map { case (k, v) => k.toLowerCase -> v }
+      if (meta.forall(kv => kv._1.toLowerCase(java.util.Locale.ROOT) eq kv._1)) meta
+      else meta.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     Ctx(styles, rels, lowerMeta)
   }
 
@@ -335,7 +335,7 @@ object Extractor {
               if (hasCode) {
                 parseDocProperty(instr.toString) match {
                   case Some(name) =>
-                    val value = ctx.meta.getOrElse(name.toLowerCase, result.toString)
+                    val value = ctx.meta.getOrElse(name.toLowerCase(java.util.Locale.ROOT), result.toString)
                     if (ctx.annotate)
                       sb.append("[DocProperty:").append(propertyTypeName(name))
                         .append('/').append(name).append("=\"").append(value).append("\"]")
@@ -586,7 +586,7 @@ object Extractor {
     // checkbox-by-@checked (descendant-scan analog, :1203), else
     // DocProperty when the data-binding xpath targets a property namespace
     // (:1206-1216), else unknown.
-    val sdtType = attrs.get("type").map(_.toLowerCase).filter(KnownSdtTypes.contains)
+    val sdtType = attrs.get("type").map(_.toLowerCase(java.util.Locale.ROOT)).filter(KnownSdtTypes.contains)
       .orElse(if (attrs.contains("checked")) Some("checkbox") else None)
       .orElse(attrs.get("xpath") match {
         case Some(x) if x.contains("coreProperties") || x.contains("extended-properties") ||

@@ -68,9 +68,9 @@ object HeadingStack {
     * subsequent span until a heading of the same or shallower level.
     */
   def section(spans: Seq[Span], needle: String): Seq[Span] = {
-    val lower = needle.toLowerCase
+    val lower = needle.toLowerCase(java.util.Locale.ROOT)
     val start = spans.indexWhere(s =>
-      headingLevelOf(s.kind) > 0 && s.text.toLowerCase.contains(lower))
+      headingLevelOf(s.kind) > 0 && s.text.toLowerCase(java.util.Locale.ROOT).contains(lower))
     if (start < 0) Nil
     else {
       val lvl = headingLevelOf(spans(start).kind)

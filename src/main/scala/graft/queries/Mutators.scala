@@ -71,11 +71,11 @@ object Mutators {
   def setProperty(raw: DataFrame, name: String, value: String): DataFrame =
     raw.withColumn("meta",
       map_concat(
-        map_filter(col("meta"), (k, _) => k =!= name.toLowerCase),
-        map(lit(name.toLowerCase), lit(value))))
+        map_filter(col("meta"), (k, _) => k =!= name.toLowerCase(java.util.Locale.ROOT)),
+        map(lit(name.toLowerCase(java.util.Locale.ROOT)), lit(value))))
 
   def removeProperty(raw: DataFrame, name: String): DataFrame =
-    raw.withColumn("meta", map_filter(col("meta"), (k, _) => k =!= name.toLowerCase))
+    raw.withColumn("meta", map_filter(col("meta"), (k, _) => k =!= name.toLowerCase(java.util.Locale.ROOT)))
 
   /** `RemoveDocumentPropertyField(s)` (`DocumentPropertyExtensions.cs:
     * 87-134`) over ANNOTATED spans: the reference nulls the run's
@@ -103,7 +103,7 @@ object Mutators {
     * re-densified. Docs without the section pass through unchanged. */
   def moveSectionToEnd(docs: DataFrame, needle: String): DataFrame = {
     def hl(s: Column): Column = SpanQueries.headingLevel(s.getField("kind"))
-    val needleLower = needle.toLowerCase
+    val needleLower = needle.toLowerCase(java.util.Locale.ROOT)
     val withBounds = docs
       .select(col("doc_id"), col("spans"),
         try_element_at(filter(col("spans"),

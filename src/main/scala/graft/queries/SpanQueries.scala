@@ -103,7 +103,7 @@ object SpanQueries {
   def section(docs: DataFrame, needle: String): DataFrame = {
     def hl(s: Column): Column = headingLevel(s.getField("kind"))
     val matches = filter(col("spans"),
-      s => hl(s) > 0 && lower(s.getField("text")).contains(lit(needle.toLowerCase)))
+      s => hl(s) > 0 && lower(s.getField("text")).contains(lit(needle.toLowerCase(java.util.Locale.ROOT))))
     docs
       .select(col("doc_id"), col("spans"), try_element_at(matches, lit(1)).as("start"))
       .where(col("start").isNotNull)

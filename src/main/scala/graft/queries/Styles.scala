@@ -19,11 +19,11 @@ object Styles {
 
   /** `HasStyle` (`StyleExtensions.cs:199-205`): case-insensitive equality. */
   def hasStyle(text: Column, styleId: String): Column =
-    lower(rawStyleOf(text)) === styleId.toLowerCase
+    lower(rawStyleOf(text)) === styleId.toLowerCase(java.util.Locale.ROOT)
 
   /** `HasAnyStyle` (`StyleExtensions.cs:207-216`). */
   def hasAnyStyle(text: Column, styleIds: Seq[String]): Column =
-    lower(rawStyleOf(text)).isin(styleIds.map(_.toLowerCase): _*)
+    lower(rawStyleOf(text)).isin(styleIds.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
 
   /** `FindByStyle` (`StyleExtensions.cs:29-42`): all styled paragraphs whose
     * style id equals `styleId` (case-insensitive). */
@@ -38,5 +38,5 @@ object Styles {
       .where(col("sp.kind") === "p")
       .select(col("doc_id"), col("sp.offset").as("offset"),
         rawStyleOf(col("sp.text")).as("style"))
-      .where(lower(col("style")).isin(styleIds.map(_.toLowerCase): _*))
+      .where(lower(col("style")).isin(styleIds.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
 }

@@ -103,39 +103,37 @@ object StreamingExtract {
     * No join, no state store, full codegen; semantics match the batch op at
     * minCollisions = 1 exactly (same disjoint routing, same hashes).
     */
-  def dropContaminatedStream(docs: DataFrame, model: BenchmarkModel,
-                             ngram: Int = 13): DataFrame = {
+  def dropContaminatedStream(docs: DataFrame, model: BenchmarkModel): DataFrame = {
     import graft.functions.{ShingleHashExpr, TextAnalysis}
     val hashHit =
       if (model.shingleHashes.isEmpty) lit(false)
-      else arrays_overlap(ShingleHashExpr(col("text"), ngram),
+      else arrays_overlap(ShingleHashExpr(col("text"), model.ngram),
         typedLit(model.shingleHashes))
     val padded = concat(lit(" "), TextAnalysis.normalized(col("text")), lit(" "))
     val shortHit =
       if (model.shortItems.isEmpty) lit(false)
       else exists(typedLit(model.shortItems),
         item => contains(padded, concat(lit(" "), item, lit(" "))))
-    docs.where(!hashHit && !shortHit)
+    // null text → null predicate → where() would silently DROP the doc; the
+    // batch left_anti keeps unscorable docs, so parity demands coalesce
+    docs.where(coalesce(!hashHit && !shortHit, lit(true)))
   }
 
   /** The few-MB driver-side decontamination model: distinct shingle hashes
     * of the benchmark's long items + the verbatim short items (≤ `ngram`
-    * tokens). Built once from the batch benchmark table; the ONLY collect in
-    * the streaming path, legitimate for the same reason IVF collects its
-    * centroid matrix. */
-  final case class BenchmarkModel(shingleHashes: Array[Long], shortItems: Array[String])
+    * tokens), carrying the `ngram` the hashes were built with (the doc-side
+    * shingles MUST use the same n — a mismatched caller would get near-zero
+    * hit rates silently). Built once from the batch benchmark table via the
+    * SAME routing as [[graft.functions.Dedup.contaminationReport]]; the ONLY
+    * collect in the streaming path, legitimate for the same reason IVF
+    * collects its centroid matrix. */
+  final case class BenchmarkModel(shingleHashes: Array[Long],
+                                  shortItems: Array[String], ngram: Int)
 
   def benchmarkModel(benchmark: DataFrame, ngram: Int = 13): BenchmarkModel = {
-    import graft.functions.{ShingleHashExpr, TextAnalysis}
-    val bnorm = benchmark
-      .select(TextAnalysis.normalized(col("text")).as("item"))
-      .where(col("item") =!= "")
-      .withColumn("n_tok", size(split(col("item"), " ")))
-    val hashes = bnorm.where(col("n_tok") > ngram)
-      .select(explode(ShingleHashExpr(col("item"), ngram)).as("g")).distinct()
-      .collect().map(_.getLong(0))
-    val shorts = bnorm.where(col("n_tok") <= ngram)
-      .select(col("item")).distinct().collect().map(_.getString(0))
-    BenchmarkModel(hashes, shorts)
+    val (benchSh, shortItems) = graft.functions.Dedup.benchRouting(benchmark, ngram)
+    BenchmarkModel(
+      benchSh.collect().map(_.getLong(0)),
+      shortItems.collect().map(_.getString(0)), ngram)
   }
 }

@@ -30,6 +30,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Dedup.dropExactDuplicates(df).count() == 2)
   }
 
+  test("null-text docs: kept by drop-dedup, excluded from dup reports, lang und, no phantom subwords") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, base), Row(2L, base), Row(3L, null)), schema)
+    // doc 3 is unscorable: not reported as a duplicate, not dropped either
+    assert(Dedup.exactDuplicates(df).count() == 1)
+    assert(Dedup.dropExactDuplicates(df).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Dedup.dropSeen(df, df.where(col("doc_id") === 1L)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L)) // null doc passes through
+    assert(df.where(col("doc_id") === 3L)
+      .select(TextAnalysis.langGuess(col("text"))).head.getString(0) == "und")
+    // Java split keeps a trailing empty under lookaround patterns: "Hello
+    // world." must be 4 pieces (Hello, ' ', world, '.'), not 5
+    assert(docsDf(1L -> "Hello world.")
+      .select(TextAnalysis.subwordCount(col("text"))).head.getInt(0) == 4)
+  }
+
   test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
     val nearDup = base.replace("lazy", "sleepy") // one-token edit
     val other = "completely unrelated sentence about spark catalyst optimizer rules and physical plans at scale"
