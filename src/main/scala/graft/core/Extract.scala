@@ -46,9 +46,9 @@ object Extract {
           metrics.foreach(_.spansOut.add(d.spans.length))
           Extracted(d.doc_id, d.spans, null)
         } catch {
-          case e: ExtractionError =>
-            metrics.foreach(_.errors.add(1))
-            Extracted(rd.doc_id, Nil, e.message)
+          // ONE quarantine format across every path ("<Class>: <message>",
+          // what ExtractSpansExpr and runChunked emit) — mode choice must
+          // not change output bytes for identical inputs
           case e: Exception =>
             metrics.foreach(_.errors.add(1))
             Extracted(rd.doc_id, Nil, s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -125,17 +125,26 @@ object Extract {
     val n = if (hasN) col("n_spans") else size(col("spans"))
     val rawCols = Seq(col("doc_id"), col("spans")) ++
       (if (raw.columns.contains("meta")) Seq(col("meta")) else Nil)
-    // a NULL n_spans (foreign table with a nullable column) must not vanish:
-    // it fails every tier comparison, so route it to the fused tier — which
-    // handles any size correctly, just without outlier spreading. IsNull ORs
+    // a NULL n (nullable n_spans in a foreign table, or size(spans) of a
+    // NULL spans row in the fallback) must not vanish: it fails every tier
+    // comparison, so route it to the fused tier — ExtractSpansExpr
+    // quarantines a null spans array explicitly ("null spans"). IsNull ORs
     // into the pushed filter; the coalesce alternative would kill pushdown.
-    val smallPred = if (hasN) n <= spreadThreshold || n.isNull else n <= spreadThreshold
+    val smallPred = n <= spreadThreshold || n.isNull
     val small = runExpr(raw.where(smallPred).select(rawCols: _*))
     val medium = runExpr(
       raw.where(n > spreadThreshold && n <= hugeThreshold).select(rawCols: _*)
         .repartition(spark.sparkContext.defaultParallelism))
+    // the typed chunked path needs the RawDoc encoder's full column set —
+    // a meta-less input (which runExpr accepts as-is) gets a typed NULL map
+    val hugeCols = Seq(col("doc_id"), col("spans")) :+
+      (if (raw.columns.contains("meta")) col("meta")
+       else org.apache.spark.sql.functions.lit(null)
+         .cast(org.apache.spark.sql.types.MapType(
+           org.apache.spark.sql.types.StringType,
+           org.apache.spark.sql.types.StringType)).as("meta"))
     val huge = runChunked(
-      raw.where(n > hugeThreshold).select(rawCols: _*).as[RawDoc],
+      raw.where(n > hugeThreshold).select(hugeCols: _*).as[RawDoc],
       maxSpansPerChunk = spreadThreshold.max(1024))
       .toDF()
     small.unionByName(medium).unionByName(huge)

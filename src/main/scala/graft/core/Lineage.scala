@@ -41,17 +41,36 @@ object Lineage {
       .map { case (b, fl) => (b, fl.map(_._1)) }
   }
 
-  def fingerprint(files: Seq[String]): String =
-    java.lang.Long.toHexString(
-      graft.corpus.SyntheticCorpus.fnv1a64(files.sorted.mkString("\n")))
+  /** Batch identity for the resume check. Hashes, per input file, the path
+    * PLUS length and modification time, PLUS the extraction mode: a file
+    * rewritten in place (same name, new bytes) or a re-run under a different
+    * mode must NOT be skipped as committed — path-only hashing would
+    * silently keep stale output in both cases. */
+  def fingerprint(spark: SparkSession, files: Seq[String], mode: String): String = {
+    val fs = FileSystem.get(new java.net.URI(files.head),
+      spark.sparkContext.hadoopConfiguration)
+    val sig = files.sorted.map { p =>
+      val st = fs.getFileStatus(new Path(p))
+      s"$p|${st.getLen}|${st.getModificationTime}"
+    }.mkString("\n") + s"\nmode=$mode"
+    java.lang.Long.toHexString(graft.corpus.SyntheticCorpus.fnv1a64(sig))
+  }
 
   def committedBatches(spark: SparkSession, outPath: String): Map[Int, LineageRow] = {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(outPath), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(s"$outPath/_lineage")
     if (!fs.exists(dir)) Map.empty
-    else spark.read.parquet(s"$outPath/_lineage").as[LineageRow]
-      .collect().map(r => r.batch_id -> r).toMap
+    else try {
+      spark.read.parquet(s"$outPath/_lineage").as[LineageRow]
+        .collect().map(r => r.batch_id -> r).toMap
+    } catch {
+      // _lineage exists but holds no readable rows (job killed inside the
+      // very first lineage write, leaving only _temporary): nothing is
+      // committed — resume from scratch, overwriting partial output, rather
+      // than crashing the restart
+      case _: org.apache.spark.sql.AnalysisException => Map.empty
+    }
   }
 
   /** Run (or resume) the batched extraction job. Returns the lineage rows of
@@ -87,7 +106,7 @@ object Lineage {
     val readSchema = if (hasN && mode == "auto") graft.model.Schemas.rawDocsWithN
                      else graft.model.Schemas.rawDocs
     val rows = batches.map { case (batchId, files) =>
-      val fp = fingerprint(files)
+      val fp = fingerprint(spark, files, extractMode)
       done.get(batchId) match {
         case Some(row) if row.input_fingerprint == fp => row // resume: skip
         case _ =>

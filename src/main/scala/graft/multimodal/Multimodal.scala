@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** FNV-1a 64 over a byte block — the ONE copy of the stub checksum used by
+    * both the decode and frame-sample stand-ins (a typo'd constant in a
+    * duplicated fold would silently diverge the two feature streams). */
+  @inline private def fnv1a64(bytes: Array[Byte], from: Int = 0, until: Int = -1): Long = {
+    val end = if (until < 0) bytes.length else until
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   final case class MediaFeature(
       doc_id: String, media_ref: String, content_type: String,
       width_px: Int, height_px: Int, format: String, byte_len: Int,
@@ -32,15 +43,15 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition init seam: real codecs are constructed HERE, once
       it.map { m =>
-        var h = 0xcbf29ce484222325L
-        var i = 0
         val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
-        while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
         val emuPerPx = 9525L // 914400 EMU/inch at 96 dpi
+        // content_type is as nullable as bytes in a foreign media table — an
+        // NPE here kills the task, the exact failure quarantine exists to stop
+        val fmt = Option(m.content_type)
+          .flatMap(_.split('/').lastOption).getOrElse("bin")
         MediaFeature(m.doc_id, m.media_ref, m.content_type,
           (m.width_emu / emuPerPx).toInt, (m.height_emu / emuPerPx).toInt,
-          m.content_type.split('/').lastOption.getOrElse("bin"),
-          bytes.length, h)
+          fmt, bytes.length, fnv1a64(bytes))
       }
     }
   }
@@ -56,9 +67,7 @@ object Multimodal {
       val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
       bytes.grouped(16).zipWithIndex.collect {
         case (blk, idx) if idx % stride == 0 =>
-          var h = 0xcbf29ce484222325L
-          blk.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-          Frame(m.doc_id, m.media_ref, idx, h)
+          Frame(m.doc_id, m.media_ref, idx, fnv1a64(blk))
       }
     }
   }

@@ -71,7 +71,10 @@ object Mutators {
   def setProperty(raw: DataFrame, name: String, value: String): DataFrame =
     raw.withColumn("meta",
       map_concat(
-        map_filter(col("meta"), (k, _) => k =!= name.toLowerCase(java.util.Locale.ROOT)),
+        // meta is nullable: map_filter(null) and map_concat(null, ...) both
+        // null-propagate, which would silently DROP the set on such rows
+        map_filter(coalesce(col("meta"), typedLit(Map.empty[String, String])),
+          (k, _) => k =!= name.toLowerCase(java.util.Locale.ROOT)),
         map(lit(name.toLowerCase(java.util.Locale.ROOT)), lit(value))))
 
   def removeProperty(raw: DataFrame, name: String): DataFrame =
@@ -102,18 +105,8 @@ object Mutators {
     * `needle` to the END of the document (extract + append), offsets
     * re-densified. Docs without the section pass through unchanged. */
   def moveSectionToEnd(docs: DataFrame, needle: String): DataFrame = {
-    def hl(s: Column): Column = SpanQueries.headingLevel(s.getField("kind"))
-    val needleLower = needle.toLowerCase(java.util.Locale.ROOT)
-    val withBounds = docs
-      .select(col("doc_id"), col("spans"),
-        try_element_at(filter(col("spans"),
-          s => hl(s) > 0 && lower(s.getField("text")).contains(lit(needleLower))), lit(1)).as("start"))
-      .select(col("doc_id"), col("spans"), col("start.offset").as("start_off"),
-        SpanQueries.headingLevel(col("start.kind")).as("start_lvl"))
-      .select(col("doc_id"), col("spans"), col("start_off"),
-        coalesce(array_min(transform(filter(col("spans"),
-          s => hl(s) > 0 && hl(s) <= col("start_lvl") && s.getField("offset") > col("start_off")),
-          s => s.getField("offset"))), lit(Int.MaxValue)).as("end_off"))
+    // boundary semantics shared with SpanQueries.section — one source of truth
+    val withBounds = SpanQueries.withSectionBounds(docs, needle)
     withBounds.select(col("doc_id"),
       when(col("start_off").isNull, col("spans")).otherwise(
         reindex(concat(

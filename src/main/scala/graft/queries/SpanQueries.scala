@@ -100,23 +100,33 @@ object SpanQueries {
     * level. Pure per-row HOFs: find the start offset and its level, find the
     * end offset, slice by filter. Zero shuffle.
     */
-  def section(docs: DataFrame, needle: String): DataFrame = {
+  /** Shared section-boundary pipeline: appends `start_off` (null when no
+    * heading matches) and `end_off` for the first heading containing
+    * `needle` and its subtree end — the SINGLE source of the section
+    * semantics (first match, end at next heading of ≤ level, Int.MaxValue
+    * sentinel), used by [[section]] and [[Mutators.moveSectionToEnd]]. */
+  private[queries] def withSectionBounds(docs: DataFrame, needle: String): DataFrame = {
     def hl(s: Column): Column = headingLevel(s.getField("kind"))
-    val matches = filter(col("spans"),
-      s => hl(s) > 0 && lower(s.getField("text")).contains(lit(needle.toLowerCase(java.util.Locale.ROOT))))
+    val needleLower = needle.toLowerCase(java.util.Locale.ROOT)
     docs
-      .select(col("doc_id"), col("spans"), try_element_at(matches, lit(1)).as("start"))
-      .where(col("start").isNotNull)
+      .select(col("doc_id"), col("spans"),
+        try_element_at(filter(col("spans"),
+          s => hl(s) > 0 && lower(s.getField("text")).contains(lit(needleLower))),
+          lit(1)).as("start"))
       .select(col("doc_id"), col("spans"), col("start.offset").as("start_off"),
         headingLevel(col("start.kind")).as("start_lvl"))
       .select(col("doc_id"), col("spans"), col("start_off"),
         coalesce(array_min(transform(filter(col("spans"),
           s => hl(s) > 0 && hl(s) <= col("start_lvl") && s.getField("offset") > col("start_off")),
           s => s.getField("offset"))), lit(Int.MaxValue)).as("end_off"))
+  }
+
+  def section(docs: DataFrame, needle: String): DataFrame =
+    withSectionBounds(docs, needle)
+      .where(col("start_off").isNotNull)
       .select(col("doc_id"),
         filter(col("spans"), s => s.getField("offset") >= col("start_off") &&
           s.getField("offset") < col("end_off")).as("spans"))
-  }
 
   /** Section text: `GetSection(needle).GetAllText()` — the reference's
     * flagship read-path composition (SURVEY.md §3.2). */
@@ -161,14 +171,16 @@ object SpanQueries {
   /** `AppendDocument`/`ConcatenateDocuments` (demo-only in the reference,
     * `DocumentConcatenationDemo.cs:57,153`): per-document span concat with
     * offset shift — `transform` + `concat`, zero shuffle beyond the join.
-    */
+    * LEFT join: a document of `a` with no counterpart in `b` passes through
+    * with its own spans (an inner join would silently delete it). */
   def concatDocs(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b.withColumnRenamed("spans", "spans_b"), Seq("doc_id"))
+    a.join(b.withColumnRenamed("spans", "spans_b"), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        concat(col("spans"), transform(col("spans_b"),
-          s => struct(s.getField("kind").as("kind"), s.getField("text").as("text"),
-            s.getField("media_ref").as("media_ref"),
-            (s.getField("offset") + size(col("spans"))).as("offset")))).as("spans"))
+        when(col("spans_b").isNull, col("spans")).otherwise(
+          concat(col("spans"), transform(col("spans_b"),
+            s => struct(s.getField("kind").as("kind"), s.getField("text").as("text"),
+              s.getField("media_ref").as("media_ref"),
+              (s.getField("offset") + size(col("spans"))).as("offset"))))).as("spans"))
 
   // ------------------------------------------------------------------- J6
 
