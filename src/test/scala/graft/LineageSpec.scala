@@ -54,4 +54,23 @@ class LineageSpec extends AnyFunSuite {
     assert(committed.values.map(_.span_count).sum > 1000)
     assert(committed.values.forall(_.wall_ms > 0))
   }
+
+  test("fingerprint is sensitive to mode and in-place file rewrites; empty _lineage does not kill resume") {
+    val files = Lineage.inputBatches(spark, "/tmp/graft_lineage_raw", 1).head._2
+    val expr = Lineage.fingerprint(spark, files, "expr")
+    // a re-run under another extraction mode must NOT skip committed batches
+    assert(expr != Lineage.fingerprint(spark, files, "typed"))
+    // a file rewritten in place (same path, new bytes) must change identity
+    val victim = Paths.get(new java.net.URI(files.head))
+    val original = Files.readAllBytes(victim)
+    try {
+      Files.write(victim, original ++ original)
+      assert(Lineage.fingerprint(spark, files, "expr") != expr)
+    } finally Files.write(victim, original)
+    // _lineage dir that exists but holds no readable parquet = nothing committed
+    val ghost = "/tmp/graft_lineage_ghost"
+    rmrf(ghost)
+    Files.createDirectories(Paths.get(s"$ghost/_lineage/batch=0/_temporary"))
+    assert(Lineage.committedBatches(spark, ghost).isEmpty)
+  }
 }

@@ -171,6 +171,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("concatDocs: docs missing from b pass through unchanged; setProperty works on null meta") {
+    import spark.implicits._
+    val a = Seq(
+      Doc("x", Seq(Span("paragraph", "left", "", 0))),
+      Doc("only-a", Seq(Span("paragraph", "solo", "", 0)))).toDF()
+    val b = Seq(Doc("x", Seq(Span("paragraph", "right", "", 0)))).toDF()
+    val out = SpanQueries.concatDocs(a, b).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(out("x").map(_.getString(1)) == Seq("left", "right"))
+    assert(out("x").map(_.getInt(3)) == Seq(0, 1))
+    assert(out("only-a").map(_.getString(1)) == Seq("solo")) // not deleted
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("meta", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))))
+    val raw = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("d1", null)), schema)
+    val set = Mutators.setProperty(raw, "Author", "x").collect().head
+    assert(set.getMap[String, String](1) == Map("author" -> "x")) // not silently lost
+  }
+
   test("removeDocumentPropertyFields strips run-level markers, keeps values; name filter case-insensitive") {
     import spark.implicits._
     val annotated = Seq(Doc("a", Seq(

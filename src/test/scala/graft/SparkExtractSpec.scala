@@ -218,6 +218,17 @@ class SparkExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("runAuto: meta-less input works; null-spans rows quarantine instead of vanishing") {
+    import org.apache.spark.sql.functions._
+    val raw = Fixtures.raw(spark).select(col("doc_id"), col("spans")).limit(20)
+    val nullRow = raw.limit(1).select(lit("null-doc").as("doc_id"),
+      lit(null).cast(raw.schema("spans").dataType).as("spans"))
+    val out = Extract.runAuto(raw.unionByName(nullRow))
+    assert(out.count() == 21) // nothing vanished
+    val q = out.where(col("doc_id") === "null-doc").collect()
+    assert(q.length == 1 && q.head.getAs[String]("error") == "null spans")
+  }
+
   test("extraction is deterministic and idempotent across partitionings") {
     import spark.implicits._
     val raw = corpus(120)
