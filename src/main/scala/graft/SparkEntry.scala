@@ -283,6 +283,10 @@ object SparkEntry {
     "m_media_join" -> ((s, _) =>
       Multimodal.joinImageSpans(Fixtures.docs(s), Fixtures.media(s))
         .select(col("doc_id"), col("media_ref"), col("offset"), col("content_type"), col("name"))),
+    // REAL decode (ImageIO header read / AudioSystem WAV parse): every output
+    // column — decoded dims, sample rate, duration, format, payload checksum —
+    // is independently predicted by the DuckDB oracle from the media table's
+    // EMU columns + bytes, proving the codec actually ran
     "m_decode" -> ((s, _) => {
       import s.implicits._
       Multimodal.decodeImageMeta(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
@@ -726,15 +730,32 @@ object SparkEntry {
          |FROM sec WINDOW ws AS (PARTITION BY doc_id, section_off ORDER BY "offset")""".stripMargin,
     "q_concat_self" ->
       s"SELECT doc_id, len(spans) * 2 AS n_spans FROM ${fixturesSql("docs")}",
+    // w/h below are what a real decoder must find in the PNG bytes — the
+    // generator sizes payload pixels from the EMU extents at 96 dpi
+    // (SyntheticCorpus.EmuPerPx), so the oracle predicts the DECODED dims
+    // without reading the payload
     "m_resize" ->
       s"""WITH m AS (SELECT doc_id, media_ref,
          |  greatest(CAST(width_emu // 9525 AS INTEGER), 1) AS w,
          |  greatest(CAST(height_emu // 9525 AS INTEGER), 1) AS h
-         |  FROM ${fixturesSql("media")})
+         |  FROM ${fixturesSql("media")} WHERE content_type LIKE 'image/%')
          |SELECT doc_id, media_ref, w AS width_px, h AS height_px,
          |  greatest(CAST(round(w * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_w,
          |  greatest(CAST(round(h * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_h
          |FROM m""".stripMargin,
+    "m_decode" ->
+      s"""SELECT doc_id, media_ref, content_type,
+         |  CASE WHEN content_type LIKE 'image/%'
+         |    THEN CAST(greatest(width_emu // 9525, 1) AS INTEGER) END AS width_px,
+         |  CASE WHEN content_type LIKE 'image/%'
+         |    THEN CAST(greatest(height_emu // 9525, 1) AS INTEGER) END AS height_px,
+         |  CASE WHEN content_type = 'audio/wav' THEN CAST(8000 AS INTEGER) END AS sample_rate_hz,
+         |  CASE WHEN content_type = 'audio/wav'
+         |    THEN CAST(greatest(width_emu // 9525, 1) * 10 * 1000 // 8000 AS BIGINT) END AS duration_ms,
+         |  CASE WHEN content_type = 'audio/wav' THEN 'wav' ELSE 'png' END AS format,
+         |  CAST(octet_length(bytes) AS INTEGER) AS byte_len,
+         |  md5(hex(bytes)) AS checksum_md5
+         |FROM ${fixturesSql("media")}""".stripMargin,
     "m_frame_counts" ->
       s"""SELECT doc_id, media_ref,
          |  CAST(ceil(ceil(octet_length(bytes) / 16.0) / 4.0) AS BIGINT) AS n_frames

@@ -412,19 +412,85 @@ object SyntheticCorpus {
 
   // ---------------------------------------------------------------- media
 
-  /** Deterministic media side-table rows for a document's drawing spans —
-    * fake bytes stand in for the image parts (the real decode is environment-
-    * dependent and stubbed; Spark-side plumbing is what matters).
-    */
+  /** EMU per pixel at 96 dpi (914400 EMU/inch / 96). The generator and the
+    * decode oracle share this one constant: payload pixel dims are
+    * `max(1, emu / 9525)`, so DuckDB can predict what a REAL decoder must
+    * find in the bytes from the `width_emu`/`height_emu` columns alone. */
+  val EmuPerPx = 9525L
+  /** Audio payloads are 8 kHz 8-bit mono PCM; sample count is `width_px * 10`
+    * (same EMU-derived dim the image family uses) so duration is likewise
+    * oracle-predictable. */
+  val AudioSampleRate = 8000
+  val AudioSamplesPerPx = 10
+
+  /** Deterministic pixel pattern — linear gradients offset by the row seed.
+    * Linear in x/y so PNG's byte-delta filters compress it (noise would not),
+    * seed-dependent so two media rows never share a payload. */
+  @inline def pixelAt(seed: Long, x: Int, y: Int): Int = {
+    val r = (x + (seed & 0xff)).toInt & 0xff
+    val g = (y + ((seed >>> 8) & 0xff)).toInt & 0xff
+    val b = (x + y + ((seed >>> 16) & 0xff)).toInt & 0xff
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Real PNG payload: BufferedImage + the JDK's ImageIO PNG encoder (pure
+    * `java.desktop`, headless, deterministic — no timestamp chunks). */
+  def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelAt(seed, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  @inline def audioSampleAt(seed: Long, i: Int): Byte =
+    (((seed >>> (i % 8)) + i * 7) & 0xff).toByte
+
+  /** Real RIFF/WAVE payload: canonical 44-byte header + 8-bit mono PCM,
+    * parseable by `javax.sound.sampled.AudioSystem` (also `java.desktop`). */
+  def wavBytes(seed: Long, nSamples: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(AudioSampleRate).putInt(AudioSampleRate) // byteRate = rate * 1 * 1
+      .putShort(1).putShort(8) // blockAlign, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) { buf.put(audioSampleAt(seed, i)); i += 1 }
+    buf.array()
+  }
+
+  /** Deterministic media side-table rows for a document's drawing spans.
+    * Payloads are REAL decodable parts — tiny PNGs (dims = EMU extents at
+    * 96 dpi, mirroring OOXML's out-of-row media parts,
+    * `ImageExtractor.cs:61-81`) for ~4/5 of rows, RIFF/WAVE PCM clips for the
+    * rest — so the decode stage ([[graft.multimodal.Multimodal]]) exercises
+    * actual `ImageIO`/`AudioSystem` codecs and its output is predictable from
+    * the EMU columns by an independent engine. */
   def mediaFor(doc: RawDoc): Seq[MediaRow] =
     doc.spans.filter(s => s.kind == Kinds.Drawing && s.media_ref != null).map { s =>
       val a = Grammar.parseAttrs(s.text)
       val seed = fnv1a64(CorpusSeed + doc.doc_id + ":" + s.media_ref)
-      val r = new Random(seed)
-      val bytes = new Array[Byte](64 + r.nextInt(192))
-      r.nextBytes(bytes)
-      MediaRow(doc.doc_id, s.media_ref, "image/png",
-        a.get("cx").map(_.toLong).getOrElse(0L), a.get("cy").map(_.toLong).getOrElse(0L),
-        a.getOrElse("name", ""), a.getOrElse("alt", ""), bytes)
+      val cx = a.get("cx").map(_.toLong).getOrElse(0L)
+      val cy = a.get("cy").map(_.toLong).getOrElse(0L)
+      val w = math.max(1L, cx / EmuPerPx).toInt
+      val h = math.max(1L, cy / EmuPerPx).toInt
+      val name = a.getOrElse("name", "")
+      if (java.lang.Long.remainderUnsigned(seed, 5) == 0) {
+        val bytes = wavBytes(seed, w * AudioSamplesPerPx)
+        MediaRow(doc.doc_id, s.media_ref, "audio/wav", cx, cy,
+          name.stripSuffix(".png") + ".wav", a.getOrElse("alt", ""), bytes)
+      } else {
+        MediaRow(doc.doc_id, s.media_ref, "image/png", cx, cy,
+          name, a.getOrElse("alt", ""), pngBytes(seed, w, h))
+      }
     }
 }

@@ -1,24 +1,34 @@
 package graft.multimodal
 
 import graft.model.MediaRow
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Opaque media handling: image/audio/video payloads are `binary` columns
   * with typed metadata (the reference keeps media bytes out of document.xml
   * the same way, `ImageExtractor.cs:61-81`; FIXTURES.md §2 `media` table).
   *
-  * Decode/feature-extraction is environment-dependent (no image/audio libs in
-  * this container), so the byte-level decode is a clearly-marked DETERMINISTIC
-  * STUB; the Spark-side plumbing — schema, partition-wise batch iteration,
-  * join strategy — is real and benchmarked. On a cluster the stub body is
-  * replaced by the actual codec call; nothing else changes.
+  * Decode is REAL for the modalities the JDK ships codecs for:
+  * still images via `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — header-only
+  * metadata read in [[decodeImageMeta]], full pixel decode + `Graphics2D`
+  * resample in [[resizeImages]]) and WAV audio via
+  * `javax.sound.sampled.AudioSystem` — both in `java.desktop`, headless.
+  * Video frame extraction ([[sampleFrames]]) remains a clearly-marked
+  * deterministic STUB: there is no ffmpeg/JCodec in this container, and the
+  * JDK has no video codec. Its Spark-side plumbing — flatMap batch shape,
+  * per-partition init seam — is the production shape; only the per-frame
+  * body is the stand-in.
+  *
+  * Undecodable payloads follow the extraction quarantine discipline: they
+  * never kill the task. [[decodeImageMeta]] emits a row with null
+  * dims/`format = "bin"`; [[resizeImages]] skips the row (a resize stage is
+  * payload→payload; there is nothing to emit).
   */
 object Multimodal {
 
-  /** FNV-1a 64 over a byte block — the ONE copy of the stub checksum used by
-    * both the decode and frame-sample stand-ins (a typo'd constant in a
-    * duplicated fold would silently diverge the two feature streams). */
+  /** FNV-1a 64 over a byte block — checksum used by the video frame STUB
+    * (kept out of the image/audio paths, which carry a cross-engine
+    * `md5(hex(bytes))` instead). */
   @inline private def fnv1a64(bytes: Array[Byte], from: Int = 0, until: Int = -1): Long = {
     val end = if (until < 0) bytes.length else until
     var h = 0xcbf29ce484222325L
@@ -27,38 +37,89 @@ object Multimodal {
     h
   }
 
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** md5 over the UPPERCASE-hex rendering of the payload — byte-identical to
+    * DuckDB's `md5(hex(bytes))` (DuckDB has no BLOB md5; both engines agree
+    * on uppercase hex), giving the decode output an engine-independent
+    * payload-equality column. */
+  def md5OfHex(bytes: Array[Byte]): String = {
+    val hex = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      hex(2 * i) = HexDigits((bytes(i) >> 4) & 0xf).toByte
+      hex(2 * i + 1) = HexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    val d = java.security.MessageDigest.getInstance("MD5").digest(hex)
+    d.map(b => f"$b%02x").mkString
+  }
+
   final case class MediaFeature(
       doc_id: String, media_ref: String, content_type: String,
-      width_px: Int, height_px: Int, format: String, byte_len: Int,
-      checksum: Long)
+      width_px: Option[Int], height_px: Option[Int],
+      sample_rate_hz: Option[Int], duration_ms: Option[Long],
+      format: String, byte_len: Int, checksum_md5: String)
 
-  /** STUB decode: derives "decoded" metadata purely from the byte payload
-    * (FNV-1a checksum, pseudo pixel dims from the EMU extents at 96 dpi).
-    * Real implementation: ImageIO/ffmpeg per partition — the mapPartitions
-    * shape below amortizes codec init per partition exactly as the real one
-    * must. */
+  /** Real metadata decode, dispatched on content type:
+    *
+    *  - `image/&#42;` — `ImageIO` header read: the matching `ImageReader` is
+    *    resolved from the byte stream (not the declared type) and asked for
+    *    dims + format name WITHOUT decoding the pixel planes — at 100 TB the
+    *    difference between a header read and a full decode per image is the
+    *    whole I/O budget of the stage.
+    *  - `audio/&#42;` — `AudioSystem.getAudioFileFormat`: container header
+    *    parse (sample rate, frame count → duration), again without decoding.
+    *  - anything else / undecodable — quarantine row: null dims,
+    *    `format = "bin"`, checksum still computed (the row stays joinable).
+    *
+    * mapPartitions shape: codecs/digests are per-JVM singletons, but the
+    * partition iterator is the seam where a licensed/NATIVE codec would be
+    * constructed once per task rather than once per row. */
   def decodeImageMeta(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init seam: real codecs are constructed HERE, once
+      // per-partition init seam: real heavyweight codecs are constructed HERE
       it.map { m =>
         val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
-        val emuPerPx = 9525L // 914400 EMU/inch at 96 dpi
-        // content_type is as nullable as bytes in a foreign media table — an
-        // NPE here kills the task, the exact failure quarantine exists to stop
-        val fmt = Option(m.content_type)
-          .flatMap(_.split('/').lastOption).getOrElse("bin")
-        MediaFeature(m.doc_id, m.media_ref, m.content_type,
-          (m.width_emu / emuPerPx).toInt, (m.height_emu / emuPerPx).toInt,
-          fmt, bytes.length, fnv1a64(bytes))
+        val ct = if (m.content_type == null) "" else m.content_type
+        val base = MediaFeature(m.doc_id, m.media_ref, m.content_type,
+          None, None, None, None, "bin", bytes.length, md5OfHex(bytes))
+        try {
+          if (ct.startsWith("image/")) {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) base
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                base.copy(width_px = Some(r.getWidth(0)), height_px = Some(r.getHeight(0)),
+                  format = r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+              } finally { r.dispose(); iis.close() }
+            }
+          } else if (ct.startsWith("audio/")) {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = aff.getFormat
+            val frames = aff.getFrameLength.toLong
+            base.copy(
+              sample_rate_hz = Some(fmt.getSampleRate.toInt),
+              duration_ms = Some(frames * 1000L / fmt.getSampleRate.toLong),
+              format = aff.getType.getExtension.toLowerCase(java.util.Locale.ROOT))
+          } else base
+        } catch { case _: Exception => base } // corrupt payload → quarantine row
       }
     }
   }
 
-  /** Frame-sampling stub for video payloads: every `stride`-th 16-byte block
+  /** Frame-sampling STUB for video payloads: every `stride`-th 16-byte block
     * stands in for a frame — same batch shape (one row in, k rows out via
-    * flatMap) as real frame extraction. */
+    * flatMap) as real frame extraction. The JDK ships no video codec and the
+    * container has no ffmpeg; on a cluster the block fold is replaced by a
+    * demuxer call, nothing else changes. */
   final case class Frame(doc_id: String, media_ref: String, frame_idx: Int, frame_checksum: Long)
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
     val spark = media.sparkSession
@@ -73,47 +134,56 @@ object Multimodal {
   }
 
   /** Resized media row: same table shape as the input (a resize pipeline
-    * stage is payload→payload), with the target geometry recorded. */
+    * stage is payload→payload), with the source and target geometry
+    * recorded. `bytes` is the re-encoded PNG at `target_w × target_h`. */
   final case class ResizedMedia(
       doc_id: String, media_ref: String, content_type: String,
       width_px: Int, height_px: Int, target_w: Int, target_h: Int,
       bytes: Array[Byte])
 
-  /** STUB resize: aspect-preserving fit into a `target` box. The geometry
-    * math (letterbox fit, EMU→px) is real; the pixel resample is a
-    * deterministic byte fold standing in for the codec call (no image libs
-    * in this container). Plumbing is the production shape: mapPartitions
-    * with a per-partition codec-init seam, payload in → payload out, so the
-    * stage chains after [[decodeImageMeta]] and before any writer. Output
-    * size scales with the target area — the real memory profile a resize
-    * stage must budget for (partition sizing note: output rows are
-    * ~target_w×target_h×3 bytes in production; keep
-    * `spark.sql.files.maxPartitionBytes` sized for the DECODED, not encoded,
-    * footprint). */
+  /** Real resize: full `ImageIO` pixel decode, aspect-preserving fit into a
+    * `target`-square box (scale = min over both axes, output exactly
+    * `tw × th` — a letterbox FIT, not a pad), bilinear `Graphics2D`
+    * resample, PNG re-encode. Image rows only — other modalities pass this
+    * stage untouched upstream (filter, no explode); undecodable image rows
+    * are skipped (quarantine discipline, see object doc).
+    *
+    * Partition sizing note: output rows are ~`target²×3` bytes DECODED in
+    * the executor while resampling; keep `spark.sql.files.maxPartitionBytes`
+    * sized for the decoded, not encoded, footprint. */
   def resizeImages(media: Dataset[MediaRow], target: Int = 256): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      // per-partition init seam: real resampler/codec constructed HERE, once
-      it.map { m =>
-        val emuPerPx = 9525L
-        val w = math.max(1, (m.width_emu / emuPerPx).toInt)
-        val h = math.max(1, (m.height_emu / emuPerPx).toInt)
-        val scale = math.min(target.toDouble / w, target.toDouble / h)
-        val tw = math.max(1, math.round(w * scale).toInt)
-        val th = math.max(1, math.round(h * scale).toInt)
-        val src = if (m.bytes == null) Array.emptyByteArray else m.bytes
-        // deterministic stand-in "pixels": fold the source bytes into a
-        // buffer sized like a tiny thumbnail plane (tw*th capped)
-        val out = new Array[Byte](math.min(tw * th, 4096))
-        var i = 0
-        while (i < src.length) {
-          out(i % out.length) = (out(i % out.length) ^ src(i)).toByte
-          i += 1
+    media
+      .filter(m => m.content_type != null && m.content_type.startsWith("image/"))
+      .mapPartitions { it =>
+        // per-partition init seam: real resampler/codec constructed HERE, once
+        it.flatMap { m =>
+          try {
+            val src = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(if (m.bytes == null) Array.emptyByteArray else m.bytes))
+            if (src == null) None
+            else {
+              val (w, h) = (src.getWidth, src.getHeight)
+              val scale = math.min(target.toDouble / w, target.toDouble / h)
+              val tw = math.max(1, math.round(w * scale).toInt)
+              val th = math.max(1, math.round(h * scale).toInt)
+              val out = new java.awt.image.BufferedImage(tw, th,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, tw, th, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some(ResizedMedia(m.doc_id, m.media_ref, m.content_type, w, h, tw, th,
+                bos.toByteArray))
+            }
+          } catch { case _: Exception => None }
         }
-        ResizedMedia(m.doc_id, m.media_ref, m.content_type, w, h, tw, th, out)
       }
-    }
   }
 
   /** Media join (J3, `ImageExtractor.cs:61-81`): image spans ⋈ media on

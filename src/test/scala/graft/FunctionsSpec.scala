@@ -426,19 +426,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top.toSet == Set(("en", 1, "a", 3L), ("en", 2, "b", 2L), ("fr", 1, "z", 1L)))
   }
 
-  test("media decode stub + frame sampling preserve schema and determinism") {
+  test("media decode is REAL: ImageIO dims/format, WAV rate/duration, determinism") {
     import spark.implicits._
+    import graft.corpus.SyntheticCorpus
     val media = Fixtures.media(spark).as[graft.model.MediaRow]
+    val rows = media.collect()
+    val (imgs, wavs) = rows.partition(_.content_type == "image/png")
+    assert(imgs.nonEmpty && wavs.nonEmpty, "fixture must carry both modalities")
     val feats = graft.multimodal.Multimodal.decodeImageMeta(media).collect()
     assert(feats.nonEmpty)
-    assert(feats.forall(f => f.byte_len > 0 && f.format == "png"))
+    assert(feats.forall(_.byte_len > 0))
+    // image rows: the DECODED dims (read from the PNG header by ImageIO, not
+    // from the EMU columns) must equal the generator's EMU-derived payload
+    // dims — this is what proves a real codec ran over real bytes
+    val featBy = feats.map(f => (f.doc_id, f.media_ref) -> f).toMap
+    imgs.foreach { m =>
+      val f = featBy((m.doc_id, m.media_ref))
+      assert(f.format == "png")
+      assert(f.width_px.contains(math.max(1L, m.width_emu / SyntheticCorpus.EmuPerPx).toInt))
+      assert(f.height_px.contains(math.max(1L, m.height_emu / SyntheticCorpus.EmuPerPx).toInt))
+      assert(f.sample_rate_hz.isEmpty && f.duration_ms.isEmpty)
+    }
+    // audio rows: AudioSystem must parse the RIFF header
+    wavs.foreach { m =>
+      val f = featBy((m.doc_id, m.media_ref))
+      assert(f.format == "wav")
+      assert(f.sample_rate_hz.contains(SyntheticCorpus.AudioSampleRate))
+      val w = math.max(1L, m.width_emu / SyntheticCorpus.EmuPerPx)
+      assert(f.duration_ms.contains(w * SyntheticCorpus.AudioSamplesPerPx * 1000L
+        / SyntheticCorpus.AudioSampleRate))
+      assert(f.width_px.isEmpty && f.height_px.isEmpty)
+    }
     val again = graft.multimodal.Multimodal.decodeImageMeta(media).collect()
-    assert(feats.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
+    assert(feats.map(_.checksum_md5).sorted.toSeq == again.map(_.checksum_md5).sorted.toSeq)
+    // corrupt/unknown payloads quarantine to a null-dim row, never kill a task
+    val poison = Seq(
+      graft.model.MediaRow("d", "r1", "image/png", 0L, 0L, "", "", Array[Byte](1, 2, 3)),
+      graft.model.MediaRow("d", "r2", null, 0L, 0L, "", "", null)).toDS()
+    val pf = graft.multimodal.Multimodal.decodeImageMeta(poison).collect()
+    assert(pf.length == 2 && pf.forall(f => f.format == "bin" && f.width_px.isEmpty))
     val frames = graft.multimodal.Multimodal.sampleFrames(media, stride = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_idx % 2 == 0))
+  }
+
+  test("media resize is REAL: pixel decode, bilinear letterbox, PNG re-encode") {
+    import spark.implicits._
+    import graft.corpus.SyntheticCorpus
+    val media = Fixtures.media(spark).as[graft.model.MediaRow]
     val resized = graft.multimodal.Multimodal.resizeImages(media, target = 256).collect()
     assert(resized.nonEmpty)
+    // image rows only pass the stage; count must match the image family
+    assert(resized.length == media.filter(_.content_type == "image/png").count())
     resized.foreach { r =>
       // aspect-preserving letterbox fit: inside the box, one side touching it
       assert(r.target_w <= 256 && r.target_h <= 256)
@@ -446,7 +485,17 @@ class FunctionsSpec extends AnyFunSuite {
       val inRatio = r.width_px.toDouble / r.height_px
       val outRatio = r.target_w.toDouble / r.target_h
       assert(math.abs(inRatio - outRatio) / inRatio < 0.02, s"$inRatio vs $outRatio")
-      assert(r.bytes.nonEmpty)
+      // the output payload is a real PNG at exactly the target geometry
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      assert(img != null && img.getWidth == r.target_w && img.getHeight == r.target_h)
     }
+    // pixel-level proof on one known row: the source payload decodes to the
+    // generator's deterministic gradient pattern
+    val m = media.filter(_.content_type == "image/png").head()
+    val seed = SyntheticCorpus.fnv1a64(
+      SyntheticCorpus.CorpusSeed + m.doc_id + ":" + m.media_ref)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+    val (x, y) = (src.getWidth / 2, src.getHeight / 2)
+    assert((src.getRGB(x, y) & 0xffffff) == SyntheticCorpus.pixelAt(seed, x, y))
   }
 }
