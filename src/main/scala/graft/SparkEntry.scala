@@ -38,7 +38,9 @@ object SparkEntry {
   // DuckDB expression fragments shared across oracles (kept in one place so
   // Spark- and SQL-side semantics stay in lockstep).
 
-  private val normSql = "trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+  private def normSqlOf(textRef: String) =
+    s"trim(regexp_replace(lower($textRef), '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+  private val normSql = normSqlOf("text")
   private def stopList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
   private val enStop = stopList(Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "was"))
   private val deStop = stopList(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "sich"))
@@ -215,9 +217,11 @@ object SparkEntry {
       5 -> s"$header\nunique line about partition pruning",
       6 -> s"unique opening line\n\nunique closing line\n$footer",
       7 -> s"$header\n$footer", // all boilerplate: must vanish
-      8 -> "standalone document with a single unique line")
+      8 -> "standalone document with a single unique line",
+      9 -> null) // null text: unscorable, must pass through untouched
     def valuesSql: String = rows
-      .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
+      .map { case (i, t) =>
+        if (t == null) s"($i, NULL)" else s"($i, '${t.replace("'", "''")}')" }
       .mkString("(VALUES ", ", ", ") AS ld(doc_id, text)")
   }
 
@@ -432,6 +436,19 @@ object SparkEntry {
         min(col("n_tokens")).as("min_tok"), max(col("n_tokens")).as("max_tok"),
         round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
         round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"))),
+    // production form of t_len_stats: exact `percentile` buffers EVERY
+    // per-group value in the agg buffer (per-language at 100 TB that is an
+    // executor OOM); percentile_approx is a bounded-memory quantile sketch.
+    // At test scale its accuracy (16384) exceeds every per-lang row count, so
+    // the sketch is exact and DuckDB's quantile_disc (rank = ceil(q*n))
+    // oracles it; LenStatsSpec holds the approx-vs-exact tolerance contract
+    "t_len_stats_approx" -> ((s, dir) => documents(s, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tok"), max(col("n_tokens")).as("max_tok"),
+        expr("percentile_approx(n_tokens, 0.5, 16384)").as("p50_disc"),
+        expr("percentile_approx(n_tokens, 0.9, 16384)").as("p90_disc"))),
     "t_subwords" -> ((s, dir) => documents(s, dir)
       .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "t_repetition" -> ((s, dir) => documents(s, dir)
@@ -457,7 +474,11 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.5)),
     "d_minhash" -> ((s, dir) => Dedup.minHashNearDuplicates(documents(s, dir), 0.5)),
     "d_simhash" -> ((s, dir) => Dedup.simHashNearDuplicates(documents(s, dir), 3)),
-    "d_drop_near" -> ((s, dir) => Dedup.dropNearDuplicates(documents(s, dir), 0.5)
+    // the explicitly-named greedy single-hop variant (the PRIMARY
+    // Dedup.dropNearDuplicates routes to CC-LSH closure since r04 — that
+    // path's row is d_drop_near_cc_lsh); rows-only (hash-seed-dependent),
+    // recall spec-tested with planted clusters
+    "d_drop_near" -> ((s, dir) => Dedup.dropNearDuplicatesGreedy(documents(s, dir), 0.5)
       .select(col("doc_id"))),
     "d_cc_components" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.5))),
@@ -840,6 +861,13 @@ object SparkEntry {
         |  round(quantile_cont(n_tokens, 0.5), 4) AS p50,
         |  round(quantile_cont(n_tokens, 0.9), 4) AS p90
         |FROM t GROUP BY 1""".stripMargin,
+    "t_len_stats_approx" ->
+      """WITH t AS (SELECT lang, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(n_tokens) AS min_tok, max(n_tokens) AS max_tok,
+        |  quantile_disc(n_tokens, 0.5) AS p50_disc,
+        |  quantile_disc(n_tokens, 0.9) AS p90_disc
+        |FROM t GROUP BY 1""".stripMargin,
     "d_exact_dups" ->
       s"""SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
@@ -860,17 +888,21 @@ object SparkEntry {
          |SELECT line, count(*) AS df FROM d GROUP BY line HAVING count(*) > 3""".stripMargin,
     "d_drop_lines" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls
-         |  FROM ${LineFixture.valuesSql}),
+         |  FROM ${LineFixture.valuesSql} WHERE text IS NOT NULL),
          |p AS (SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS pos, UNNEST(ls) AS line FROM t),
          |bad AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM p WHERE trim(line) <> '')
          |  GROUP BY line HAVING count(*) > 3),
          |keep AS (SELECT doc_id, pos, line FROM p WHERE line NOT IN (SELECT line FROM bad))
          |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
-         |FROM keep GROUP BY doc_id""".stripMargin,
+         |FROM keep GROUP BY doc_id
+         |UNION ALL SELECT doc_id, text FROM ${LineFixture.valuesSql} WHERE text IS NULL""".stripMargin,
+    // NOT EXISTS, not NOT IN: a NULL fingerprint in the seen-subquery would
+    // make NOT IN never-true and drop EVERY document, diverging from the
+    // Spark left_anti which keeps null-fp rows (ADVICE r03)
     "d_drop_seen" ->
-      s"""SELECT doc_id FROM documents
-         |WHERE md5($normSql) NOT IN
-         |  (SELECT md5($normSql) FROM documents WHERE doc_id % 25 = 0)""".stripMargin,
+      s"""SELECT d.doc_id AS doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE s.doc_id % 25 = 0
+         |  AND md5(${normSqlOf("s.text")}) = md5(${normSqlOf("d.text")}))""".stripMargin,
     "d_drop_contaminated" ->
       s"""WITH $contaminationCtes
          |SELECT doc_id FROM documents

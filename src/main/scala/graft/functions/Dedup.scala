@@ -86,10 +86,14 @@ object Dedup {
     * discipline as the shingle ops); the bad-line set is the df tail —
     * small by construction — so AQE broadcasts the anti-join; reassembly is
     * one groupBy(doc_id) with an order-restoring array_sort (no window).
-    * Blank lines are structure, not content: never counted, never dropped. */
+    * Blank lines are structure, not content: never counted, never dropped.
+    * Null-text documents pass through UNTOUCHED (`split(null)` explodes to
+    * zero rows, which would silently delete them — the same unscorable-row
+    * contract as [[dropExactDuplicates]]/[[dropSeen]]/[[dropContaminated]]);
+    * only all-boilerplate docs vanish, by design. */
   def dropRepeatedLines(documents: DataFrame, maxDocFreq: Int = 3): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val lines = documents
+    val lines = documents.where(col("text").isNotNull)
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", xxhash64(col("line")))
     val bad = lines.where(trim(col("line")) =!= "")
@@ -101,14 +105,25 @@ object Dedup {
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line"))).as("text"))
+      .unionByName(documents.where(col("text").isNull).select(col("doc_id"), col("text")))
   }
 
-  /** End-to-end near-dedup: drop every document that appears as the larger
-    * id of a near-duplicate pair (single-hop greedy keep-first — the
-    * standard web-pipeline approximation of connected-component dedup;
-    * min-id docs survive as cluster representatives). */
+  /** End-to-end near-dedup — the PRIMARY entry point, routed to the
+    * component-closure LSH composition ([[dropNearDuplicatesCCLsh]]): greedy
+    * single-hop dedup under-merges chains (a~b, b~c with a!~c candidate-wise
+    * leaves both b and c decisions inconsistent), so closure is the
+    * production semantics. The old greedy form survives as the explicitly
+    * named [[dropNearDuplicatesGreedy]]. */
   def dropNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
-                         ngram: Int = 3): DataFrame = {
+                         ngram: Int = 3): DataFrame =
+    dropNearDuplicatesCCLsh(documents, threshold, ngram)
+
+  /** Single-hop greedy keep-first near-dedup: drop every document that
+    * appears as the larger id of a near-duplicate pair. Cheaper than closure
+    * (no iterative CC rounds) but under-merges chains — kept as an
+    * explicitly-named variant for pipelines that accept that trade. */
+  def dropNearDuplicatesGreedy(documents: DataFrame, threshold: Double = 0.8,
+                               ngram: Int = 3): DataFrame = {
     val losers = minHashNearDuplicates(documents, threshold, ngram = ngram)
       .select(col("b").as("doc_id")).distinct()
     documents.join(losers, Seq("doc_id"), "left_anti")

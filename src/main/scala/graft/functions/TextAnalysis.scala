@@ -47,7 +47,7 @@ object TextAnalysis {
   private val frStop = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
   private val esStop = Seq("el", "los", "y", "es", "en", "un", "una", "por", "con", "para")
 
-  private def tokens(text: Column): Column = split(normalized(text), " ")
+  private[graft] def tokens(text: Column): Column = split(normalized(text), " ")
 
   private def stopHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
@@ -206,14 +206,26 @@ object TextAnalysis {
         col("n").cast("double"))), 6).as("nll"))
   }
 
-  def topTermsPerLang(documents: DataFrame, k: Int): DataFrame = {
+  /** Top-k terms per language via PARTIAL top-k: a web-scale language's
+    * distinct-token vocabulary is billions of rows (typo/noise tail), so a
+    * single `row_number() OVER (PARTITION BY lang)` window is a one-task
+    * straggler. Instead the vocab aggregate is salted on `xxhash64(term)`,
+    * each `(lang, salt)` shard keeps its local top-k under the SAME ordering
+    * (n desc, term asc — every global top-k row is by construction in its
+    * shard's local top-k), and the final window ranks only the
+    * `langs × salts × k` survivors. */
+  def topTermsPerLang(documents: DataFrame, k: Int, salts: Int = 64): DataFrame = {
     val terms = documents
       .select(col("lang"), explode(tokens(col("text"))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("lang", "term").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("term")), lit(salts)))
+      .orderBy(col("n").desc, col("term").asc)
+    val wFinal = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("term").asc)
-    terms.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    terms.withColumn("lr", row_number().over(wLocal)).where(col("lr") <= k)
+      .withColumn("rank", row_number().over(wFinal)).where(col("rank") <= k)
       .select(col("lang"), col("rank").cast("int").as("rank"), col("term"), col("n"))
   }
 }

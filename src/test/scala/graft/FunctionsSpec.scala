@@ -153,16 +153,18 @@ class FunctionsSpec extends AnyFunSuite {
       3L -> s"$header\ngamma body line",
       4L -> s"$header\nshared rare line\ndelta body line",
       5L -> s"shared rare line\n\nepsilon body line",
-      6L -> header) // nothing but boilerplate
+      6L -> header, // nothing but boilerplate
+      7L -> null) // null text: unscorable, must pass through untouched
     val df = Dedup.repeatedLines(docs, maxDocFreq = 3).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(df == Map(header -> 5L)) // docs 1-4 and 6; rare line df=2 stays under the cap
     val out = Dedup.dropRepeatedLines(docs, maxDocFreq = 3).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out == Map(
-      1L -> "alpha body line", 2L -> "beta body line", 3L -> "gamma body line",
-      4L -> "shared rare line\ndelta body line",
-      5L -> "shared rare line\n\nepsilon body line")) // doc 6 vanished, blank kept
+      1L -> Some("alpha body line"), 2L -> Some("beta body line"), 3L -> Some("gamma body line"),
+      4L -> Some("shared rare line\ndelta body line"),
+      5L -> Some("shared rare line\n\nepsilon body line"), // doc 6 vanished, blank kept
+      7L -> None)) // null text passed through, not deleted
   }
 
   test("dropSeen removes exact cross-corpus matches only") {
@@ -424,6 +426,61 @@ class FunctionsSpec extends AnyFunSuite {
     val top = TextAnalysis.topTermsPerLang(docs, 2).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
     assert(top.toSet == Set(("en", 1, "a", 3L), ("en", 2, "b", 2L), ("fr", 1, "z", 1L)))
+  }
+
+  test("salted partial top-k terms equals a single full-vocab window (incl. tie break)") {
+    import spark.implicits._
+    // tie-heavy corpus: many terms share counts, so the salted local top-k
+    // must preserve the (n desc, term asc) tie-break end to end
+    val r = new scala.util.Random(7)
+    val docs = (0L until 400L).map { i =>
+      val lang = if (i % 3 == 0) "fr" else "en"
+      val terms = Seq.fill(8)(s"t${r.nextInt(60)}")
+      (i, lang, terms.mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(9)
+    val got = TextAnalysis.topTermsPerLang(docs, 7, salts = 16).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2), x.getLong(3))).toSet
+    // reference: unsalted full window over the same aggregate
+    val terms = docs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("term").asc)
+    val want = terms.withColumn("rank", row_number().over(w)).where(col("rank") <= 7)
+      .select(col("lang"), col("rank").cast("int"), col("term"), col("n")).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2), x.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("approx percentile production variant: exact at sketch accuracy, bounded error always") {
+    import spark.implicits._
+    // skewed long-tail lengths, two groups — the shape t_len_stats sees
+    val r = new scala.util.Random(11)
+    val df = (0L until 5000L).map { i =>
+      val lang = if (i % 4 == 0) "de" else "en"
+      (lang, (math.pow(r.nextDouble(), 3) * 4000).toLong + 1)
+    }.toDF("lang", "n_tokens")
+    val rows = df.groupBy("lang").agg(
+      expr("percentile_approx(n_tokens, 0.5, 16384)").as("p50d"),
+      expr("percentile_approx(n_tokens, 0.9, 16384)").as("p90d"),
+      expr("percentile(n_tokens, 0.5)").as("p50x"),
+      expr("percentile(n_tokens, 0.9)").as("p90x"),
+      collect_list("n_tokens").as("all")).collect()
+    rows.foreach { row =>
+      val all = row.getAs[scala.collection.Seq[Long]]("all").sorted
+      def disc(q: Double) = all((math.ceil(q * all.size) - 1).toInt.max(0))
+      // at accuracy >= group size the sketch is EXACT: element at rank ceil(q*n)
+      // (the contract the DuckDB quantile_disc oracle relies on)
+      assert(row.getAs[Long]("p50d") == disc(0.5))
+      assert(row.getAs[Long]("p90d") == disc(0.9))
+      // and never further from the exact interpolated percentile than one
+      // neighboring element (t-digest-style bound at full accuracy)
+      assert(math.abs(row.getAs[Long]("p50d") - row.getAs[Double]("p50x")) <= 1.0 +
+        (disc(0.5001) - disc(0.4999)).toDouble.abs)
+      assert(math.abs(row.getAs[Long]("p90d") - row.getAs[Double]("p90x")) <= 1.0 +
+        (disc(0.9001) - disc(0.8999)).toDouble.abs)
+    }
   }
 
   test("media decode is REAL: ImageIO dims/format, WAV rate/duration, determinism") {

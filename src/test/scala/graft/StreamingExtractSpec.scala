@@ -65,10 +65,14 @@ class StreamingExtractSpec extends AnyFunSuite {
         .coalesce(1).write.parquet(s"$in/wave=$n")
     }
     val t0 = 1700000000000L
-    wave(1, Seq((1L, "alpha text", t0), (2L, "beta text", t0 + 1000)))
+    wave(1, Seq((1L, "alpha text", t0), (2L, "beta text", t0 + 1000),
+      (10L, null, t0 + 500)))
     // re-ingested duplicate of "alpha text" (different doc_id, later time)
-    // inside the horizon + one genuinely new doc
-    wave(2, Seq((3L, "alpha text", t0 + 2000), (4L, "gamma text", t0 + 3000)))
+    // inside the horizon + one genuinely new doc + a SECOND null-text doc
+    // (unscorable rows must ALL pass through — batch-parity contract; a
+    // naive null fingerprint key would collapse them to one survivor)
+    wave(2, Seq((3L, "alpha text", t0 + 2000), (4L, "gamma text", t0 + 3000),
+      (11L, null, t0 + 2500)))
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
     val q = StreamingExtract.dedupWithinHorizon(src)
@@ -80,9 +84,12 @@ class StreamingExtractSpec extends AnyFunSuite {
     q.awaitTermination()
     val got = spark.table("dedup_stream").collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    // exactly one survivor per distinct text; the duplicate doc_id=3 dropped
-    assert(got.map(_._2).sorted.toSeq == Seq("alpha text", "beta text", "gamma text"))
+    // exactly one survivor per distinct text; the duplicate doc_id=3 dropped;
+    // BOTH null-text docs survive (unique per-doc dedup keys)
+    assert(got.collect { case (_, t) if t != null => t }.sorted.toSeq
+      == Seq("alpha text", "beta text", "gamma text"))
     assert(!got.map(_._1).contains(3L))
+    assert(got.filter(_._2 == null).map(_._1).toSet == Set(10L, 11L))
   }
 
   test("streaming decontamination drops hash-route and short-item-route docs on arrival, parity with batch") {
