@@ -1,10 +1,14 @@
 package graft
 
-import graft.core.Lineage
+import graft.core.{Lineage, Pipeline}
 import org.apache.spark.sql.SparkSession
 
 /** Production `spark-submit` entrypoint (SURVEY.md §7.1 step 6): the
-  * checkpoint-resumable batched extraction job over a raw-docs table.
+  * checkpoint-resumable batched extraction job over a raw-docs table, and —
+  * with `--pipeline` — the full composed training-data pipeline
+  * (extract → exact dedup → CC-LSH near-dedup → [decontaminate] →
+  * quality top-fraction → sequence packing) with a resumable lineage row
+  * per stage ([[graft.core.Pipeline]]).
   *
   * {{{
   * spark-submit --class graft.Main app.jar \
@@ -18,6 +22,12 @@ import org.apache.spark.sql.SparkSession
   *   [--no-resume]                      // wipe output (docs, quarantine,
   *                                      // lineage) and re-extract everything
   *   [--shuffle-partitions N]           // only the chunked path shuffles
+  *   [--pipeline]                       // run the full composed pipeline
+  *   [--benchmark /path/bench.parquet]  // pipeline: decontamination source
+  *                                      // (text column); stage skipped if absent
+  *   [--threshold 0.5]                  // pipeline: near-dup Jaccard threshold
+  *   [--keep-frac 0.8]                  // pipeline: quality fraction kept
+  *   [--seq-len 2048]                   // pipeline: packed sequence length
   * }}}
   *
   * Cluster sizing notes (BASELINE.md round-3): prefer MANY SMALL executors —
@@ -37,6 +47,8 @@ object Main {
       args(i) match {
         case "--no-resume" =>
           m += "no-resume" -> "true"; i += 1
+        case "--pipeline" =>
+          m += "pipeline" -> "true"; i += 1
         case flag if flag.startsWith("--") =>
           if (i + 1 >= args.length || args(i + 1).startsWith("--"))
             sys.error(s"missing value for $flag")
@@ -72,15 +84,35 @@ object Main {
       // documents if this run uses a different --batches grouping
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(output), spark.sparkContext.hadoopConfiguration)
-      Seq("_lineage", "docs", "quarantine").foreach(d =>
+      val dirs =
+        if (opts.contains("pipeline"))
+          Seq("extract", "s1_exact", "s2_neardup", "s3_decontam", "s4_quality",
+            "s5_pack", "_pipeline")
+        else Seq("_lineage", "docs", "quarantine")
+      dirs.foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$output/$d"), true))
     }
 
-    val rows = Lineage.runBatched(spark, input, output, numBatches = batches, mode = mode)
-    val docs = rows.map(_.doc_count).sum
-    val spans = rows.map(_.span_count).sum
-    val errs = rows.map(_.error_count).sum
-    println(s"GRAFT_DONE batches=${rows.size} docs=$docs spans=$spans quarantined=$errs out=$output")
+    if (opts.contains("pipeline")) {
+      val cfg = Pipeline.Config(
+        rawPath = input, outPath = output,
+        benchmarkPath = opts.get("benchmark"),
+        mode = mode, batches = batches,
+        threshold = opts.getOrElse("threshold", "0.5").toDouble,
+        keepFrac = opts.getOrElse("keep-frac", "0.8").toDouble,
+        seqLen = opts.getOrElse("seq-len", "2048").toInt)
+      val stages = Pipeline.run(spark, cfg)
+      stages.foreach(s => println(
+        s"GRAFT_STAGE ${s.stage} in=${s.rows_in} out=${s.rows_out} wall_ms=${s.wall_ms}"))
+      println(s"GRAFT_PIPELINE_DONE stages=${stages.size} " +
+        s"packed=${stages.last.rows_out} out=$output")
+    } else {
+      val rows = Lineage.runBatched(spark, input, output, numBatches = batches, mode = mode)
+      val docs = rows.map(_.doc_count).sum
+      val spans = rows.map(_.span_count).sum
+      val errs = rows.map(_.error_count).sum
+      println(s"GRAFT_DONE batches=${rows.size} docs=$docs spans=$spans quarantined=$errs out=$output")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.core.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The composed training-data pipeline (VERDICT r03 #5): stage semantics,
+  * per-stage lineage metrics, and kill/resume — a run killed between stages
+  * resumes by skipping every committed stage and re-deriving only stale
+  * ones, to output identical to an uninterrupted run.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def rmrf(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  private val rawPath = "/tmp/graft_pipeline_raw"
+  private val benchPath = "/tmp/graft_pipeline_bench"
+
+  private def writeInputs(): Unit = {
+    import spark.implicits._
+    if (!Files.exists(Paths.get(rawPath)))
+      (0L until 150L).map(i => graft.corpus.SyntheticCorpus.rawDoc(
+          graft.corpus.SyntheticCorpus.docIdFor(i)))
+        .toDS().repartition(4).write.parquet(rawPath)
+    if (!Files.exists(Paths.get(benchPath))) {
+      // benchmark = leading-token excerpts of ~1/7 of the EXTRACTED docs
+      // (normalized exactly as contamination shingling normalizes) → the
+      // sampled docs that survive dedup MUST be dropped by decontamination
+      val extracted = graft.core.Extract.runExpr(spark.read.parquet(rawPath))
+      val docs = extracted.where(col("error").isNull)
+      graft.queries.SpanQueries.allText(docs.select(col("doc_id"), col("spans")))
+        .where(abs(xxhash64(col("doc_id"))) % 7 === 0)
+        .select(concat_ws(" ", slice(split(
+          graft.functions.TextAnalysis.normalized(col("text")), " "), 1, 30)).as("text"))
+        .where(length(col("text")) > 0)
+        .write.parquet(benchPath)
+    }
+  }
+
+  private def cfg(out: String) = Pipeline.Config(
+    rawPath = rawPath, outPath = out, benchmarkPath = Some(benchPath),
+    batches = 3, threshold = 0.5, keepFrac = 0.8, seqLen = 512)
+
+  test("pipeline runs end to end: every stage commits, counts are monotone, packing covers survivors") {
+    writeInputs()
+    val out = "/tmp/graft_pipeline_out"
+    rmrf(out)
+    val stages = Pipeline.run(spark, cfg(out))
+    assert(stages.map(_.stage) ==
+      Seq("extract", "s1_exact", "s2_neardup", "s3_decontam", "s4_quality", "s5_pack"))
+    // each filter stage only removes rows; metrics are real
+    val byName = stages.map(s => s.stage -> s).toMap
+    Seq("s1_exact", "s2_neardup", "s3_decontam", "s4_quality").foreach { s =>
+      assert(byName(s).rows_out <= byName(s).rows_in, s)
+      assert(byName(s).rows_out > 0, s)
+    }
+    // decontamination dropped the planted contaminated docs
+    assert(byName("s3_decontam").rows_out < byName("s3_decontam").rows_in)
+    // quality kept ~80% of scorable docs
+    val q = byName("s4_quality")
+    assert(q.rows_out <= math.ceil(q.rows_in * 0.8).toLong + 1)
+    // packing emits one row per surviving doc, stream is contiguous
+    val packed = spark.read.parquet(s"$out/s5_pack")
+    assert(packed.count() == byName("s5_pack").rows_out)
+    assert(packed.count() == q.rows_out)
+    val total = packed.agg(sum("n_tokens")).head().getLong(0)
+    val maxEnd = packed.agg(max(col("tok_start") + col("n_tokens"))).head().getLong(0)
+    assert(maxEnd == total) // gap-free concat stream
+  }
+
+  test("kill between stages resumes: committed stages skipped, stale ones re-derived, output identical") {
+    writeInputs()
+    val out = "/tmp/graft_pipeline_resume"
+    rmrf(out)
+    // run 1: killed right after s2_neardup commits
+    val ex = intercept[RuntimeException] {
+      Pipeline.run(spark, cfg(out), failAfter = Some("s2_neardup"))
+    }
+    assert(ex.getMessage.contains("failpoint"))
+    assert(Files.exists(Paths.get(s"$out/s2_neardup")))
+    assert(!Files.exists(Paths.get(s"$out/s5_pack")))
+    val committedAt2 = spark.read.parquet(s"$out/_pipeline/stage=s2_neardup")
+      .select("committed_at").head().getString(0)
+
+    // run 2: completes; stages up to the kill point are NOT recomputed
+    val stages = Pipeline.run(spark, cfg(out))
+    assert(stages.map(_.stage).contains("s5_pack"))
+    assert(stages.find(_.stage == "s2_neardup").get.committed_at == committedAt2)
+
+    // byte-equivalent to an uninterrupted run
+    val freshOut = "/tmp/graft_pipeline_fresh"
+    rmrf(freshOut)
+    Pipeline.run(spark, cfg(freshOut))
+    val a = spark.read.parquet(s"$out/s5_pack").orderBy("doc_id").collect()
+    val b = spark.read.parquet(s"$freshOut/s5_pack").orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+
+    // run 3 over the SAME output: everything skipped (fingerprints match)
+    val stages3 = Pipeline.run(spark, cfg(out))
+    stages3.filterNot(_.stage == "extract").foreach { s =>
+      assert(s.committed_at == stages.find(_.stage == s.stage).get.committed_at, s.stage)
+    }
+  }
+
+  test("upstream parameter change invalidates downstream stages transitively") {
+    writeInputs()
+    val out = "/tmp/graft_pipeline_params"
+    rmrf(out)
+    val first = Pipeline.run(spark, cfg(out))
+    // tighter near-dup threshold → s2 fingerprint changes → s2 reruns, and
+    // its rewritten output cascades staleness into s3/s4/s5
+    val second = Pipeline.run(spark, cfg(out).copy(threshold = 0.3))
+    val f = first.map(s => s.stage -> s.committed_at).toMap
+    assert(second.find(_.stage == "s1_exact").get.committed_at == f("s1_exact"))
+    Seq("s2_neardup", "s3_decontam", "s4_quality", "s5_pack").foreach { s =>
+      assert(second.find(_.stage == s).get.committed_at != f(s), s)
+    }
+  }
+}
