@@ -347,27 +347,61 @@ object Dedup {
     val sh = documents.select(col("doc_id"), ShingleHashExpr(col("text"), n).as("sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     // document-frequency cap: shingle sets are distinct per doc, so count = df.
-    // AQE broadcasts the (small) surviving-shingle set when it fits.
-    val keep = inv.groupBy("g").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq).select(col("g"))
-    val capped = inv.join(keep, Seq("g"), "left_semi")
-    // inverted index join: pairs sharing >=1 surviving shingle (deduped;
-    // the Jaccard below is recomputed exactly from the full shingle sets)
-    val pairs = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
+    // The cap is applied as a LEFT ANTI join against the HOT set (df > cap) —
+    // the inverse of a keep-set semi join. The hot set is small by
+    // construction at ANY scale (shingles shared by >maxDocFreq docs — the
+    // stop-phrase tail), so it broadcasts for real, where the keep set is
+    // nearly the whole vocabulary: building that broadcast hash table
+    // dominated this operator's wall time (measured 8.2 → 3.4 s at sf0.1).
+    // The df aggregate itself partial-aggregates map-side — hot shingles
+    // combine before the shuffle, never hot-spotting one reducer.
+    val hot = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select(col("g"))
+    val capped = inv.join(broadcast(hot), Seq("g"), "left_anti")
+    // Candidate pairs AND their intersection cardinality in one aggregation:
+    // the self-join emits one row per SHARED under-cap shingle, so
+    // count(*) per (a, b) IS |A∩B| over the capped sets (shingle sets are
+    // distinct per doc). The r03 shape deduped candidates and re-ran the
+    // fused shingle expression per CANDIDATE (2 × 1.1M full-text evals at
+    // sf0.1 for 512 final edges — measured as ~60% of d_cc_components);
+    // counting instead of deduping costs the same shuffle and makes the
+    // Jaccard pure arithmetic for every pair without hot shingles.
+    val ic = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
       .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    // exact Jaccard recomputed from text on CANDIDATE rows only — joining
-    // `sh` back would re-run the fused shingle expression over the full
-    // corpus twice more (different join keys defeat exchange reuse)
-    pairs
-      .join(documents.select(col("doc_id").as("a"), col("text").as("text_a")), Seq("a"))
-      .join(documents.select(col("doc_id").as("b"), col("text").as("text_b")), Seq("b"))
-      .withColumn("sh_a", ShingleHashExpr(col("text_a"), n))
-      .withColumn("sh_b", ShingleHashExpr(col("text_b"), n))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("ic"))
+    // per-doc set sizes: n_all from the already-computed shingle array (scan
+    // only, no shuffle); n_hot only for the few docs that CONTAIN a hot
+    // shingle (map-side broadcast semi join, tiny aggregate)
+    val nHot = inv.join(broadcast(hot), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_all"))
+      .join(nHot, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_all"), coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+    val cand = ic
+      .join(sizes.select(col("doc_id").as("a"), col("n_all").as("na"), col("n_hot").as("ha")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_all").as("nb"), col("n_hot").as("hb")), Seq("b"))
+      .withColumn("hmin", least(col("ha"), col("hb")))
+    // no hot shingles on either side → capped intersection IS the true
+    // intersection: Jaccard = ic / (|A| + |B| - ic), no array work at all
+    val exact = cand.where(col("hmin") === 0)
+      .withColumn("jaccard",
+        round(col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+    // both docs contain hot shingles (rare by construction): the capped
+    // intersection is only a lower bound — prune with the achievable upper
+    // bound (all hmin hot shingles shared), then verify on the full arrays
+    val fuzzy = cand.where(col("hmin") > 0)
+      .where((col("ic") + col("hmin")).cast("double") /
+        greatest((col("na") + col("nb") - col("ic") - col("hmin")).cast("double"), lit(1.0))
+        >= threshold)
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    exact.unionByName(fuzzy)
   }
 
   // ----------------------------------------------------- decontamination
