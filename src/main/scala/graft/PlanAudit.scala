@@ -46,7 +46,7 @@ object PlanAudit {
 
     val exprRate = n / exprSec / 8
     val summary =
-      f"""# PLANS — plan audit & hot-path profile (round 3)
+      f"""# PLANS — plan audit & hot-path profile (round 4)
          |
          |## Hot path: encoder overhead
          |
@@ -116,10 +116,10 @@ object PlanAudit {
       sb ++= explainOf("d_cc_components one round (r02 #1 — expect: partial_min below the propagate exchange (the giant-star skew defense: a 10^4-degree hub combines map-side); the jump's self-join subtrees dedup via exchange/subquery reuse; each round is ONE action — the convergence flag `chg` rides in the round's own output and the lazy localCheckpoint materializes inside that count)",
         graft.functions.Dedup.ccRound(graft.functions.Dedup.ccSeed(edges), edges))
     }
-    sb ++= explainOf("d_ngram_jaccard with df-cap (r01 #8 — expect: aggregate+semi-join gate before the inverted-index self-join)",
+    sb ++= explainOf("d_ngram_jaccard with df-cap (r04 rework — expect: hot set (df > cap) built by partial/final count agg then BroadcastExchange'd into a LEFT ANTI gate (the keep-set of r03 was near-vocabulary-sized and could never broadcast at scale); the self-join aggregates count(*) per pair = capped |A∩B|, so the no-hot branch computes Jaccard ARITHMETICALLY — no per-candidate re-shingling, no text re-join; only the both-hot branch touches the shingle arrays)",
       graft.functions.Dedup.ngramJaccardPairs(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3, 0.5))
-    sb ++= explainOf("t_top_terms (r03 — expect: explode + partial/final count agg absorbing Zipf skew map-side, then window only over the vocab-sized aggregate)",
+    sb ++= explainOf("t_top_terms (r04 rework — expect: explode + partial/final count agg absorbing Zipf skew map-side, then a window partitioned by (lang, salt) for the LOCAL top-k — no window partition ever holds a full language vocabulary — and a final window over only langs x salts x k survivors)",
       graft.functions.TextAnalysis.topTermsPerLang(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 5))
     sb ++= explainOf("t_sample_stratified (r03 — expect: single scan, md5 keep-predicate inside the scan's WholeStageCodegen filter, NO shuffle/state)",
