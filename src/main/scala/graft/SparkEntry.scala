@@ -284,6 +284,23 @@ object SparkEntry {
     }),
     "m_pack_interleaved" -> ((s, _) =>
       Packing.packInterleaved(Fixtures.docs(s), 2048, imageTokens = 64)),
+    // interleaved-corpus modality mix: images vs text tokens per document
+    // over the engine's own (doc_id, spans) output — one scan, per-row HOFs
+    "m_image_text_ratio" -> ((s, _) => {
+      val perSpanTok = transform(col("spans"), x =>
+        when(x.getField("kind") === "image", lit(0))
+          .otherwise(when(length(trim(x.getField("text"))) === 0, lit(0))
+            .otherwise(size(split(trim(x.getField("text")),
+              graft.functions.TextAnalysis.wsClass)))))
+      Fixtures.docs(s).select(
+          col("doc_id"),
+          size(filter(col("spans"), x => x.getField("kind") === "image"))
+            .cast("long").as("n_images"),
+          coalesce(aggregate(perSpanTok, lit(0L), (acc, v) => acc + v), lit(0L))
+            .as("n_text_tokens"))
+        .withColumn("img_frac", round(col("n_images").cast("double") /
+          greatest(col("n_images") + col("n_text_tokens"), lit(1L)).cast("double"), 6))
+    }),
     "m_media_join" -> ((s, _) =>
       Multimodal.joinImageSpans(Fixtures.docs(s), Fixtures.media(s))
         .select(col("doc_id"), col("media_ref"), col("offset"), col("content_type"), col("name"))),
@@ -458,6 +475,14 @@ object SparkEntry {
       TextAnalysis.sampleStratified(documents(s, dir), "lang",
           Map("en" -> 0.5, "zh" -> 0.25))
         .select(col("doc_id"), col("lang"))),
+    "t_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(documents(s, dir))),
+    // per-source corpus mix report (the domain-level balancing input of a
+    // web pipeline): one scan, partial aggregates absorb source skew
+    "t_source_stats" -> ((s, dir) => documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"),
+        countDistinct(col("lang")).as("n_langs"))),
     // planted-PII redaction: the corpus is synthetic word-salad (no PII), so
     // the redaction semantics are oracled over a fixed VALUES table that both
     // engines evaluate from scratch
@@ -829,6 +854,50 @@ object SparkEntry {
          |  tok_start // 2048 AS seq_start,
          |  (tok_start + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) // 2048 AS seq_end
          |FROM o""".stripMargin,
+    "m_image_text_ratio" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(list_filter(spans, s -> s.kind = 'image')) AS BIGINT) AS n_images,
+         |  CAST(coalesce(list_sum(list_transform(spans, s ->
+         |    CASE WHEN s.kind = 'image' THEN 0
+         |      ELSE CASE WHEN length(trim(s.text)) = 0 THEN 0
+         |        ELSE len(regexp_split_to_array(trim(s.text), '[ \\t\\n\\f\\r]+')) END
+         |    END)), 0) AS BIGINT) AS n_text_tokens
+         |  FROM ${fixturesSql("docs")})
+         |SELECT doc_id, n_images, n_text_tokens,
+         |  round(CAST(n_images AS DOUBLE) /
+         |    greatest(CAST(n_images + n_text_tokens AS DOUBLE), 1.0), 6) AS img_frac
+         |FROM t""".stripMargin,
+    "t_gopher_rules" ->
+      s"""WITH g0 AS (SELECT doc_id, $normSql AS norm,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) END AS DOUBLE) AS n
+         |  FROM documents),
+         |g1 AS (SELECT doc_id, n,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE (length(norm) - (n - 1)) / n END AS mean_len,
+         |  CASE WHEN length(norm) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(norm) END AS sym,
+         |  CASE WHEN n = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(string_split(norm, ' '),
+         |      t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n END AS alpha,
+         |  len(list_filter(string_split(norm, ' '), t -> list_contains($enStop, t))) AS stops
+         |  FROM g0)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(mean_len, 6) AS mean_word_len, round(sym, 6) AS symbol_ratio,
+         |  round(alpha, 6) AS alpha_token_frac, CAST(stops AS BIGINT) AS stop_hits,
+         |  coalesce(n >= 10 AND n <= 100000 AND mean_len >= 2.0 AND mean_len <= 12.0
+         |    AND sym <= 0.2 AND alpha >= 0.7 AND stops >= 2, FALSE) AS keep
+         |FROM g1""".stripMargin,
+    "t_source_stats" ->
+      s"""WITH $qualityCtes,
+         |s0 AS (SELECT d.doc_id AS doc_id, d.source AS source, d.lang AS lang,
+         |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\f\\r]+')) END AS BIGINT) AS n_tok
+         |  FROM documents d)
+         |SELECT s0.source AS source, count(*) AS n_docs,
+         |  CAST(sum(s0.n_tok) AS BIGINT) AS n_tokens,
+         |  round(avg(q.quality), 4) AS mean_quality,
+         |  count(DISTINCT s0.lang) AS n_langs
+         |FROM s0 JOIN q ON s0.doc_id = q.doc_id GROUP BY 1""".stripMargin,
     "t_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -83,6 +83,57 @@ object TextAnalysis {
     round(alpha * 0.4 + least(stop * lit(3.0), lit(1.0)) * 0.3 + lenScore * 0.3, 6)
   }
 
+  /** Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1, the
+    * standard web-pipeline repetition/format gate, thresholds adapted to
+    * this corpus's scale): per-document rule measurements plus the composite
+    * `keep` verdict. All pure codegen column expressions over ONE scan — at
+    * 100 TB this runs inside the parquet scan's WholeStageCodegen with no
+    * shuffle at all (the filter form is `where(keep)`).
+    *
+    *  - token count within [minTokens, maxTokens]
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *    (normalized text has single spaces, so mean = (len − (n−1)) / n)
+    *  - symbol ratio (chars outside [a-z0-9 space] in the normalized text)
+    *    at most maxSymbolRatio
+    *  - fraction of tokens containing a letter at least minAlphaTokenFrac
+    *  - at least minStopHits English stopword hits (the Gopher "stop word"
+    *    rule; non-English docs fail it by design — run per-language lists
+    *    upstream of this gate if the corpus is multilingual and that is not
+    *    intended)
+    *
+    * Null-text docs are unscorable: measurement columns stay null and
+    * `keep` is false (same contract as quality ranking). */
+  def gopherRules(documents: DataFrame,
+                  minTokens: Int = 10, maxTokens: Int = 100000,
+                  minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                  maxSymbolRatio: Double = 0.2, minAlphaTokenFrac: Double = 0.7,
+                  minStopHits: Int = 2): DataFrame = {
+    val norm = normalized(col("text"))
+    val n = tokenCount(col("text")).cast("double")
+    val meanLen = when(n === 0, lit(0.0))
+      .otherwise((length(norm) - (n - 1)) / n)
+    val symbolRatio = when(length(norm) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(norm, "[a-z0-9 ]", "")).cast("double") /
+        length(norm).cast("double"))
+    val alphaFrac = when(n === 0, lit(0.0))
+      .otherwise(size(filter(tokens(col("text")), t => t.rlike("[a-z]"))).cast("double") / n)
+    val stops = stopHits(col("text"), enStop)
+    documents.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_token_frac"),
+      stops.cast("long").as("stop_hits"),
+      coalesce(
+        n >= minTokens && n <= maxTokens &&
+          meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+          symbolRatio <= maxSymbolRatio &&
+          alphaFrac >= minAlphaTokenFrac &&
+          stops >= minStopHits,
+        lit(false)).as("keep"))
+  }
+
   /** Character n-gram shingles (distinct) of the normalized text — the
     * MinHash/Jaccard dedup input. Pure HOF: sequence + substr, no UDF. */
   def charShingles(text: Column, n: Int): Column = {

@@ -428,6 +428,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top.toSet == Set(("en", 1, "a", 3L), ("en", 2, "b", 2L), ("fr", 1, "z", 1L)))
   }
 
+  test("gopher rules: each rule fires on its planted violation; null text unscorable but kept=false") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then it runs far away home"
+    val rows = Seq(
+      1L -> good,                                   // passes everything
+      2L -> "the of and",                           // too few tokens
+      3L -> ("x " * 20).trim,                       // mean word len 1 < 2, no stopwords
+      4L -> ("@@ ## $$ %% ^^ && ** (( )) " * 3 + good), // symbol ratio blown
+      5L -> (good + " " + Seq.fill(40)("12345").mkString(" ")), // alpha frac < 0.7
+      6L -> "ein der die das und nicht zu mit sich ist hier heute morgen abend", // no EN stopwords... (und/in overlap? 'ist' no; check)
+      7L -> null.asInstanceOf[String])
+    val out = graft.functions.TextAnalysis.gopherRules(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(6))
+    assert(!out(2L).getBoolean(6) && out(2L).getLong(1) == 3L)
+    assert(!out(3L).getBoolean(6) && out(3L).getDouble(2) == 1.0)
+    assert(!out(4L).getBoolean(6) && out(4L).getDouble(3) > 0.2)
+    assert(!out(5L).getBoolean(6) && out(5L).getDouble(4) < 0.7)
+    assert(!out(6L).getBoolean(6) && out(6L).getLong(5) == 0L) // non-English: stopword rule
+    assert(!out(7L).getBoolean(6) && out(7L).isNullAt(1)) // unscorable: null stats, keep=false
+  }
+
   test("salted partial top-k terms equals a single full-vocab window (incl. tie break)") {
     import spark.implicits._
     // tie-heavy corpus: many terms share counts, so the salted local top-k
