@@ -531,6 +531,14 @@ object SparkEntry {
       val docs = documents(s, dir)
       Dedup.dropSeen(docs, docs.where(col("doc_id") % 25 === 0)).select(col("doc_id"))
     }),
+    // Bloom-filter form: no oracle by nature (≤fpp false-positive drops are
+    // the operator's contract, not an error) — spec holds the no-false-
+    // negative guarantee and the FP bound against the exact path
+    "d_drop_seen_approx" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.dropSeenApprox(docs, docs.where(col("doc_id") % 25 === 0))
+        .select(col("doc_id"))
+    }),
     "d_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDuplicates(embeddings(s, dir), 0.9)),
     "d_embed_neardup_lsh" -> ((s, dir) => Dedup.embeddingNearDuplicatesLsh(embeddings(s, dir), 0.9)),
 

@@ -61,6 +61,36 @@ object Dedup {
     withFp.join(refFp, Seq("fp"), "left_anti").drop("fp")
   }
 
+  /** Approximate cross-corpus dedup via a Bloom filter of the reference's
+    * fingerprints — the classic alternative to [[dropSeen]]'s left-anti
+    * shuffle when the reference set is large but its BLOOM fits executor
+    * memory (~1.2 GB per 10⁹ items at 1% fpp, ~10× smaller than a broadcast
+    * hash set of the fingerprints). Guarantees: NO false negatives (every
+    * truly-seen document is dropped); up to `fpp` of unseen documents are
+    * dropped as false positives — acceptable for web-dedup, never use for
+    * quarantine decisions. The probe is Spark's OWN codegen
+    * `BloomFilterMightContain` (the runtime-filter machinery) over a
+    * `xxhash64` fingerprint, so the corpus side stays a single scan with a
+    * zero-shuffle filter; the reference side is one pass + a driver-held
+    * sketch (size bounded by `expectedItems`/`fpp`, the same class of
+    * driver state as the IVF centroids / benchmark model). Null-text docs
+    * pass through (unscorable contract). For reference sets whose bloom
+    * exceeds memory, fall back to [[dropSeen]]. */
+  def dropSeenApprox(documents: DataFrame, reference: DataFrame,
+                     expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val fpCol = xxhash64(TextAnalysis.normalized(col("text")))
+    val bf = reference.where(col("text").isNotNull)
+      .stat.bloomFilter(fpCol, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(fpCol)))
+    documents.where(col("text").isNull || !probe)
+  }
+
   // ----------------------------------------------------- line-level dedup
 
   /** CCNet/RefinedWeb-style boilerplate report: every distinct non-blank

@@ -174,6 +174,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(3L)) // doc 2 matches via normalized fingerprint
   }
 
+  test("dropSeenApprox: zero false negatives, FP drops within the bloom bound, nulls pass") {
+    import spark.implicits._
+    // reference = every 10th doc of a 2000-doc corpus; fpp = 1%
+    val docs = ((0L until 2000L).map(i => i -> s"document body number $i with unique words w$i x${i * 7}")
+      :+ (9999L -> null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ref = docs.where(col("doc_id") % 10 === 0 && col("doc_id") < 9999)
+    val kept = Dedup.dropSeenApprox(docs, ref, expectedItems = 4096, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // NO false negatives: every seen doc dropped
+    assert(kept.forall(id => id == 9999L || id % 10 != 0))
+    // null-text doc passes through (unscorable contract)
+    assert(kept.contains(9999L))
+    // false-positive drops bounded: 1800 unseen docs, fpp 1% → expect ~18,
+    // assert a generous 5x margin
+    val unseenDropped = 1800 - (kept.size - 1)
+    assert(unseenDropped <= 90, s"bloom dropped $unseenDropped unseen docs")
+    // superset-consistency with the exact path: exact keeps ⊇ approx keeps
+    val exactKept = Dedup.dropSeen(docs, ref).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(exactKept))
+  }
+
   test("sequence packing: bucketed prefix-sum equals a global sort; empty docs occupy no space") {
     import graft.functions.Packing
     val rows = (0L until 300L).map(i => i -> ("tok " * (1 + (i % 37)).toInt).trim) :+
