@@ -287,8 +287,12 @@ object SparkEntry {
     // interleaved-corpus modality mix: images vs text tokens per document
     // over the engine's own (doc_id, spans) output — one scan, per-row HOFs
     "m_image_text_ratio" -> ((s, _) => {
+      // null-text spans contribute 0 EXPLICITLY: without the isNull arm,
+      // size(split(null)) is null under ANSI and `aggregate` null-poisons
+      // the whole document's sum (DuckDB's list_sum skips null elements, so
+      // the engines would also diverge)
       val perSpanTok = transform(col("spans"), x =>
-        when(x.getField("kind") === "image", lit(0))
+        when(x.getField("kind") === "image" || x.getField("text").isNull, lit(0))
           .otherwise(when(length(trim(x.getField("text"))) === 0, lit(0))
             .otherwise(size(split(trim(x.getField("text")),
               graft.functions.TextAnalysis.wsClass)))))

@@ -106,8 +106,16 @@ object Pipeline {
                       (body: DataFrame => DataFrame): StageLineage = {
     import spark.implicits._
     val fp = stageFingerprint(spark, inputDirs, params)
+    // a committed lineage row only licenses a skip if the stage's OUTPUT is
+    // also still on disk — a pruned/partially-restored output tree with a
+    // surviving lineage row must re-derive, not crash the downstream read
+    val outExists = {
+      val fs = FileSystem.get(new java.net.URI(cfg.outPath),
+        spark.sparkContext.hadoopConfiguration)
+      fs.exists(new Path(s"${cfg.outPath}/$name"))
+    }
     committedStage(spark, cfg.outPath, name) match {
-      case Some(row) if row.input_fingerprint == fp => row // resume: skip
+      case Some(row) if row.input_fingerprint == fp && outExists => row // resume: skip
       case _ =>
         val t0 = System.nanoTime()
         val in = spark.read.parquet(inputDirs.head)
@@ -135,11 +143,16 @@ object Pipeline {
         throw new RuntimeException(s"pipeline failpoint after stage $name")
 
     // ---- extract (per-batch resume inside runBatched) ----
+    // The summary row reports metrics only; its fingerprint field is a
+    // sentinel — extract's resume identity lives PER BATCH inside
+    // runBatched's own lineage, and recomputing a recursive whole-input
+    // fingerprint here would be a second full listing of the raw corpus
+    // (millions of object-store LIST calls at scale) that no resume
+    // decision ever reads.
     val t0 = System.nanoTime()
     val batchRows = Lineage.runBatched(spark, cfg.rawPath, s"${cfg.outPath}/extract",
       numBatches = cfg.batches, mode = cfg.mode)
-    rows += StageLineage("extract",
-      stageFingerprint(spark, Seq(cfg.rawPath), s"mode=${cfg.mode},batches=${cfg.batches}"),
+    rows += StageLineage("extract", "per-batch (extract/_lineage)",
       batchRows.map(r => r.doc_count + r.error_count).sum,
       batchRows.map(_.doc_count).sum,
       (System.nanoTime() - t0) / 1000000, java.time.Instant.now().toString)

@@ -75,12 +75,18 @@ object Dedup {
     * sketch (size bounded by `expectedItems`/`fpp`, the same class of
     * driver state as the IVF centroids / benchmark model). Null-text docs
     * pass through (unscorable contract). For reference sets whose bloom
-    * exceeds memory, fall back to [[dropSeen]]. */
+    * exceeds memory, fall back to [[dropSeen]].
+    *
+    * The filter is sized from the reference's ACTUAL row count (one cheap
+    * count job before the build pass) — sizing from a caller-guessed
+    * constant silently saturates the bloom when the reference outgrows the
+    * guess, driving the effective FP rate toward 1 and deleting the corpus
+    * with no signal. */
   def dropSeenApprox(documents: DataFrame, reference: DataFrame,
-                     expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+                     fpp: Double = 0.01): DataFrame = {
     val fpCol = xxhash64(TextAnalysis.normalized(col("text")))
-    val bf = reference.where(col("text").isNotNull)
-      .stat.bloomFilter(fpCol, expectedItems, fpp)
+    val ref = reference.where(col("text").isNotNull)
+    val bf = ref.stat.bloomFilter(fpCol, math.max(ref.count(), 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val probe = org.apache.spark.sql.graftbridge.ColumnBridge.column(

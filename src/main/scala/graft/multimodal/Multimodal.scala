@@ -90,16 +90,21 @@ object Multimodal {
           if (ct.startsWith("image/")) {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) base
-            else {
-              val r = readers.next()
-              try {
-                r.setInput(iis)
-                base.copy(width_px = Some(r.getWidth(0)), height_px = Some(r.getHeight(0)),
-                  format = r.getFormatName.toLowerCase(java.util.Locale.ROOT))
-              } finally { r.dispose(); iis.close() }
-            }
+            // the stream must close on EVERY path — the no-matching-reader
+            // quarantine case would otherwise leak one cache-backed stream
+            // per undecodable row, exactly on degraded-input workloads
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) base
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  base.copy(width_px = Some(r.getWidth(0)), height_px = Some(r.getHeight(0)),
+                    format = r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+                } finally r.dispose()
+              }
+            } finally iis.close()
           } else if (ct.startsWith("audio/")) {
             val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
               new java.io.ByteArrayInputStream(bytes))

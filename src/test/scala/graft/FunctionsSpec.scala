@@ -180,7 +180,7 @@ class FunctionsSpec extends AnyFunSuite {
     val docs = ((0L until 2000L).map(i => i -> s"document body number $i with unique words w$i x${i * 7}")
       :+ (9999L -> null.asInstanceOf[String])).toDF("doc_id", "text")
     val ref = docs.where(col("doc_id") % 10 === 0 && col("doc_id") < 9999)
-    val kept = Dedup.dropSeenApprox(docs, ref, expectedItems = 4096, fpp = 0.01)
+    val kept = Dedup.dropSeenApprox(docs, ref, fpp = 0.01)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // NO false negatives: every seen doc dropped
     assert(kept.forall(id => id == 9999L || id % 10 != 0))

@@ -109,6 +109,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("a stage whose output was pruned but whose lineage row survives re-derives instead of crashing downstream") {
+    writeInputs()
+    val out = "/tmp/graft_pipeline_heal"
+    rmrf(out)
+    Pipeline.run(spark, cfg(out))
+    val packedBefore = spark.read.parquet(s"$out/s5_pack").orderBy("doc_id").collect()
+    // prune one mid-pipeline stage output, keep its committed lineage row
+    rmrf(s"$out/s2_neardup")
+    val stages = Pipeline.run(spark, cfg(out))
+    assert(stages.map(_.stage).contains("s5_pack"))
+    assert(Files.exists(Paths.get(s"$out/s2_neardup"))) // re-derived, not skipped
+    val packedAfter = spark.read.parquet(s"$out/s5_pack").orderBy("doc_id").collect()
+    assert(packedBefore.toSeq == packedAfter.toSeq)
+  }
+
   test("upstream parameter change invalidates downstream stages transitively") {
     writeInputs()
     val out = "/tmp/graft_pipeline_params"

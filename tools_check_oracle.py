@@ -17,7 +17,12 @@ def canon(df):
     return df
 
 results = {}
+import os
+skip = set(q for q in os.environ.get("SKIP_QUERIES", "").split(",") if q)
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        results[name] = "SKIPPED (via SKIP_QUERIES)"
+        continue
     try:
         spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{out}/{name}/*.parquet")], ignore_index=True)
         duck_df = con.execute(sql).fetchdf()
