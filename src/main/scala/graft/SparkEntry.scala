@@ -320,6 +320,13 @@ object SparkEntry {
       import s.implicits._
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
+    // REAL PCM decode through AudioSystem; the oracle recomputes the signal
+    // stats from the raw payload bytes (hex-digit arithmetic — DuckDB has no
+    // byte accessor), proving the decoded sample stream matches the bytes
+    "m_audio_stats" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.audioStats(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
+    }),
     // the DuckDB-checkable half of m_frames: the frame-sampling GEOMETRY
     // (frames per media row = ceil(ceil(len/16)/stride)) is payload-
     // independent even though the per-frame checksums aren't
@@ -818,6 +825,25 @@ object SparkEntry {
       s"""SELECT doc_id, media_ref,
          |  CAST(ceil(ceil(octet_length(bytes) / 16.0) / 4.0) AS BIGINT) AS n_frames
          |FROM ${fixturesSql("media")} WHERE octet_length(bytes) > 0""".stripMargin,
+    // recompute the PCM signal stats from the payload bytes: DuckDB has no
+    // blob byte accessor, so each data byte (past the 44-byte RIFF header)
+    // is reconstructed from its two hex digits; sums are exact in doubles at
+    // these magnitudes so the 6-dp rounding matches the engine bit-for-bit
+    "m_audio_stats" ->
+      s"""WITH b AS (SELECT doc_id, media_ref, hex(bytes) AS h, octet_length(bytes) AS n
+         |  FROM ${fixturesSql("media")} WHERE content_type = 'audio/wav'),
+         |s AS (SELECT doc_id, media_ref, n,
+         |  list_transform(range(44, n), i ->
+         |    (strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
+         |    + strpos('0123456789ABCDEF', h[2*i+2]) - 1 - 128) AS v
+         |  FROM b)
+         |SELECT doc_id, media_ref, CAST(n - 44 AS BIGINT) AS n_samples,
+         |  round(list_aggregate(list_transform(v, x -> CAST(abs(x) AS DOUBLE)), 'sum')
+         |    / greatest(n - 44, 1), 6) AS mean_abs,
+         |  round(sqrt(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * x), 'sum')
+         |    / greatest(n - 44, 1)), 6) AS rms,
+         |  CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max') AS INTEGER) AS peak
+         |FROM s""".stripMargin,
     "m_media_join" ->
       s"""SELECT d.doc_id AS doc_id, u.media_ref AS media_ref, u.offset AS offset,
          |  m.content_type AS content_type, m.name AS name

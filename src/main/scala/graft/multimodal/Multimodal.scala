@@ -120,6 +120,49 @@ object Multimodal {
     }
   }
 
+  /** Real PCM feature extraction for the audio family: the payload is
+    * decoded through `AudioSystem.getAudioInputStream` (actual codec path,
+    * not a header peek) and the sample stream reduced to signal statistics
+    * — amplitude mean/RMS/peak around the 8-bit unsigned midpoint. Sums are
+    * exact in doubles at these magnitudes, so the stats are engine-portable
+    * and the DuckDB oracle recomputes them from the raw bytes. Non-audio
+    * rows are filtered upstream of the decode (payload→feature stage);
+    * undecodable payloads are skipped (quarantine discipline). */
+  final case class AudioStats(
+      doc_id: String, media_ref: String, n_samples: Long,
+      mean_abs: Double, rms: Double, peak: Int)
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(m => m.content_type != null && m.content_type.startsWith("audio/"))
+      .mapPartitions { it =>
+        // per-partition init seam: real codecs constructed HERE, once
+        it.flatMap { m =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(if (m.bytes == null) Array.emptyByteArray else m.bytes))
+            try {
+              val data = ais.readAllBytes()
+              var sumAbs = 0.0; var sumSq = 0.0; var peak = 0
+              var i = 0
+              while (i < data.length) {
+                val v = (data(i) & 0xff) - 128
+                val a = math.abs(v)
+                sumAbs += a; sumSq += v.toDouble * v; if (a > peak) peak = a
+                i += 1
+              }
+              val n = math.max(data.length, 1)
+              Some(AudioStats(m.doc_id, m.media_ref, data.length.toLong,
+                BigDecimal(sumAbs / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                BigDecimal(math.sqrt(sumSq / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                peak))
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   /** Frame-sampling STUB for video payloads: every `stride`-th 16-byte block
     * stands in for a frame — same batch shape (one row in, k rows out via
     * flatMap) as real frame extraction. The JDK ships no video codec and the

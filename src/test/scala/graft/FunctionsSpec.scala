@@ -570,6 +570,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_idx % 2 == 0))
   }
 
+  test("audio stats are REAL: AudioSystem sample stream matches the generator's PCM formula") {
+    import spark.implicits._
+    import graft.corpus.SyntheticCorpus
+    val media = Fixtures.media(spark).as[graft.model.MediaRow]
+    val stats = graft.multimodal.Multimodal.audioStats(media).collect()
+      .map(s => (s.doc_id, s.media_ref) -> s).toMap
+    val wavs = media.filter(_.content_type == "audio/wav").collect()
+    assert(stats.size == wavs.length && wavs.nonEmpty)
+    wavs.foreach { m =>
+      val s = stats((m.doc_id, m.media_ref))
+      val n = (math.max(1L, m.width_emu / SyntheticCorpus.EmuPerPx)
+        * SyntheticCorpus.AudioSamplesPerPx).toInt
+      assert(s.n_samples == n)
+      // recompute from the generator's sample formula — equality here proves
+      // the DECODED stream (via AudioSystem) is the generated PCM data
+      val seed = SyntheticCorpus.fnv1a64(
+        SyntheticCorpus.CorpusSeed + m.doc_id + ":" + m.media_ref)
+      var sumAbs = 0.0; var sumSq = 0.0; var peak = 0
+      (0 until n).foreach { i =>
+        val v = (SyntheticCorpus.audioSampleAt(seed, i) & 0xff) - 128
+        sumAbs += math.abs(v); sumSq += v.toDouble * v; peak = math.max(peak, math.abs(v))
+      }
+      assert(s.peak == peak)
+      assert(math.abs(s.mean_abs - sumAbs / n) < 1e-6)
+      assert(math.abs(s.rms - math.sqrt(sumSq / n)) < 1e-6)
+    }
+    // non-audio rows never enter the decode; corrupt audio rows are skipped
+    val poison = Seq(graft.model.MediaRow("d", "r", "audio/wav", 0L, 0L, "", "",
+      Array[Byte](1, 2, 3))).toDS()
+    assert(graft.multimodal.Multimodal.audioStats(poison).collect().isEmpty)
+  }
+
   test("media resize is REAL: pixel decode, bilinear letterbox, PNG re-encode") {
     import spark.implicits._
     import graft.corpus.SyntheticCorpus
