@@ -126,6 +126,14 @@ object PlanAudit {
       graft.functions.TextAnalysis.sampleStratified(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
         "lang", Map("en" -> 0.5, "zh" -> 0.25)))
+    sb ++= explainOf("t_gopher_rules (r04 — expect: single scan, all five rule measurements + keep verdict inside ONE WholeStageCodegen project, NO exchange)",
+      graft.functions.TextAnalysis.gopherRules(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")))
+    sb ++= explainOf("d_drop_seen_approx (r04 — expect: corpus side is scan + Filter(bloom_filter_might_contain(...)) in WholeStageCodegen, ZERO corpus shuffle; the reference pass happened before planning, as a driver-held sketch like the IVF centroids)",
+      graft.functions.Dedup.dropSeenApprox(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .where($"doc_id" % 25 === 0)))
     locally {
       val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       val bench = d.where($"doc_id" % 50 === 0).select($"text")
