@@ -126,7 +126,7 @@ object PlanAudit {
       graft.functions.TextAnalysis.sampleStratified(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
         "lang", Map("en" -> 0.5, "zh" -> 0.25)))
-    sb ++= explainOf("t_gopher_rules (r04 — expect: single scan, all five rule measurements + keep verdict inside ONE WholeStageCodegen project, NO exchange)",
+    sb ++= explainOf("t_gopher_rules (r04 — expect: single scan + ONE project, NO exchange; the project sits just outside WholeStageCodegen because the token-level rules use HOFs (ArrayFilter is CodegenFallback — the same trade every HOF text op here makes: in-row, zero-shuffle, interpreted per row)",
       graft.functions.TextAnalysis.gopherRules(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")))
     sb ++= explainOf("d_drop_seen_approx (r04 — expect: corpus side is scan + Filter(bloom_filter_might_contain(...)) in WholeStageCodegen, ZERO corpus shuffle; the reference pass happened before planning, as a driver-held sketch like the IVF centroids)",
