@@ -26,6 +26,8 @@ import org.apache.spark.sql.SparkSession
   *   [--benchmark /path/bench.parquet]  // pipeline: decontamination source
   *                                      // (text column); stage skipped if absent
   *   [--threshold 0.5]                  // pipeline: near-dup Jaccard threshold
+  *   [--gopher]                         // pipeline: add the Gopher-rule
+  *                                      // keep-gate stage before quality
   *   [--keep-frac 0.8]                  // pipeline: quality fraction kept
   *   [--seq-len 2048]                   // pipeline: packed sequence length
   * }}}
@@ -49,6 +51,8 @@ object Main {
           m += "no-resume" -> "true"; i += 1
         case "--pipeline" =>
           m += "pipeline" -> "true"; i += 1
+        case "--gopher" =>
+          m += "gopher" -> "true"; i += 1
         case flag if flag.startsWith("--") =>
           if (i + 1 >= args.length || args(i + 1).startsWith("--"))
             sys.error(s"missing value for $flag")
@@ -86,8 +90,8 @@ object Main {
         new java.net.URI(output), spark.sparkContext.hadoopConfiguration)
       val dirs =
         if (opts.contains("pipeline"))
-          Seq("extract", "s1_exact", "s2_neardup", "s3_decontam", "s4_quality",
-            "s5_pack", "_pipeline")
+          Seq("extract", "s1_exact", "s2_neardup", "s3_decontam", "s3g_gopher",
+            "s4_quality", "s5_pack", "_pipeline")
         else Seq("_lineage", "docs", "quarantine")
       dirs.foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$output/$d"), true))
@@ -99,6 +103,7 @@ object Main {
         benchmarkPath = opts.get("benchmark"),
         mode = mode, batches = batches,
         threshold = opts.getOrElse("threshold", "0.5").toDouble,
+        gopher = opts.contains("gopher"),
         keepFrac = opts.getOrElse("keep-frac", "0.8").toDouble,
         seqLen = opts.getOrElse("seq-len", "2048").toInt)
       val stages = Pipeline.run(spark, cfg)

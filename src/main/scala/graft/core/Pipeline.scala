@@ -30,6 +30,7 @@ final case class StageLineage(
   *   ─▶ s2_neardup   dropNearDuplicates         (MinHash-LSH + CC closure)
   *   ─▶ s3_decontam  dropContaminated           (13-gram + short-item routes;
   *                                               skipped when no --benchmark)
+  *   ─▶ s3g_gopher   gopherRules keep-gate       (optional, --gopher)
   *   ─▶ s4_quality   qualityTopFraction         (exact distributed rank)
   *   ─▶ s5_pack      packSequences              (two-level prefix sum)
   * }}}
@@ -61,6 +62,11 @@ object Pipeline {
       threshold: Double = 0.5,
       ngram: Int = 3,
       contaminationNgram: Int = 13,
+      gopher: Boolean = false,
+      // the one corpus-LANGUAGE-dependent Gopher rule: a corpus whose token
+      // distribution legitimately lacks the English stoplist (multilingual,
+      // code, synthetic) sets this to 0 rather than dropping everything
+      gopherMinStopHits: Int = 2,
       keepFrac: Double = 0.8,
       seqLen: Int = 2048)
 
@@ -180,6 +186,18 @@ object Pipeline {
       }
       current = s"${cfg.outPath}/s3_decontam"
       checkpoint("s3_decontam")
+    }
+
+    if (cfg.gopher) {
+      rows += runStage(spark, cfg, "s3g_gopher", Seq(current),
+        s"minStopHits=${cfg.gopherMinStopHits}") { in =>
+        in.join(graft.functions.TextAnalysis
+            .gopherRules(in, minStopHits = cfg.gopherMinStopHits)
+            .where(col("keep")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      }
+      current = s"${cfg.outPath}/s3g_gopher"
+      checkpoint("s3g_gopher")
     }
 
     rows += runStage(spark, cfg, "s4_quality", Seq(current),

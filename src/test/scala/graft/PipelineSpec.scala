@@ -109,6 +109,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("optional gopher stage gates between decontamination and quality; stage chain stays resumable") {
+    writeInputs()
+    val out = "/tmp/graft_pipeline_gopher"
+    rmrf(out)
+    // the synthetic corpus vocabulary has no English stopwords — the one
+    // corpus-language-dependent rule is disabled per Config's escape hatch
+    val gcfg = cfg(out).copy(gopher = true, gopherMinStopHits = 0)
+    val stages = Pipeline.run(spark, gcfg)
+    assert(stages.map(_.stage) == Seq("extract", "s1_exact", "s2_neardup",
+      "s3_decontam", "s3g_gopher", "s4_quality", "s5_pack"))
+    val g = stages.find(_.stage == "s3g_gopher").get
+    assert(g.rows_out <= g.rows_in && g.rows_out > 0)
+    // quality reads the gated table
+    assert(stages.find(_.stage == "s4_quality").get.rows_in == g.rows_out)
+    // immediate rerun: all stages skip
+    val again = Pipeline.run(spark, gcfg)
+    again.filterNot(_.stage == "extract").foreach { s =>
+      assert(s.committed_at == stages.find(_.stage == s.stage).get.committed_at, s.stage)
+    }
+  }
+
   test("a stage whose output was pruned but whose lineage row survives re-derives instead of crashing downstream") {
     writeInputs()
     val out = "/tmp/graft_pipeline_heal"
