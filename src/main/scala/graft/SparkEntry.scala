@@ -510,6 +510,10 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.5)),
     "d_minhash" -> ((s, dir) => Dedup.minHashNearDuplicates(documents(s, dir), 0.5)),
     "d_simhash" -> ((s, dir) => Dedup.simHashNearDuplicates(documents(s, dir), 3)),
+    // rows-only (hash-seed-dependent like all sketch paths); planted spec
+    // holds the semantics
+    "d_drop_simhash" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesSimHash(documents(s, dir), 3).select(col("doc_id"))),
     // the explicitly-named greedy single-hop variant (the PRIMARY
     // Dedup.dropNearDuplicates routes to CC-LSH closure since r04 — that
     // path's row is d_drop_near_cc_lsh); rows-only (hash-seed-dependent),

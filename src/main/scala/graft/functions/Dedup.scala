@@ -550,6 +550,17 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Component-closure drop over SimHash pairs — completes the drop-form
+    * matrix (exact / MinHash-LSH / n-gram-Jaccard / SimHash each have both a
+    * pair REPORT and a survivors DROP): near-identical documents by Hamming
+    * distance collapse to their min-id representative. Same CC machinery,
+    * same keep-min semantics as [[dropNearDuplicatesCCLsh]]. */
+  def dropNearDuplicatesSimHash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val comps = connectedComponents(simHashNearDuplicates(documents, maxHamming))
+    val losers = comps.where(col("doc_id") =!= col("component")).select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates, LSH-bucketed (the 100 TB path): pairs

@@ -67,6 +67,10 @@ class FunctionsSpec extends AnyFunSuite {
     val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ids.contains((1L, 2L)))
     assert(!ids.contains((1L, 3L)) && !ids.contains((2L, 3L)))
+    // drop form: the near-dup cluster collapses to its min id, others kept
+    val kept = Dedup.dropNearDuplicatesSimHash(df, maxHamming = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
   }
 
   test("ngram jaccard pairs agree with direct computation") {
