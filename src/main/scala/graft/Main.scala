@@ -28,6 +28,10 @@ import org.apache.spark.sql.SparkSession
   *   [--threshold 0.5]                  // pipeline: near-dup Jaccard threshold
   *   [--gopher]                         // pipeline: add the Gopher-rule
   *                                      // keep-gate stage before quality
+  *   [--gopher-min-stop-hits N]         // pipeline: stopword-rule threshold
+  *                                      // (0 disables the one language-
+  *                                      // dependent rule for non-English/
+  *                                      // synthetic corpora)
   *   [--keep-frac 0.8]                  // pipeline: quality fraction kept
   *   [--seq-len 2048]                   // pipeline: packed sequence length
   * }}}
@@ -104,6 +108,7 @@ object Main {
         mode = mode, batches = batches,
         threshold = opts.getOrElse("threshold", "0.5").toDouble,
         gopher = opts.contains("gopher"),
+        gopherMinStopHits = opts.getOrElse("gopher-min-stop-hits", "2").toInt,
         keepFrac = opts.getOrElse("keep-frac", "0.8").toDouble,
         seqLen = opts.getOrElse("seq-len", "2048").toInt)
       val stages = Pipeline.run(spark, cfg)

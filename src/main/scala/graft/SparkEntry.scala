@@ -833,20 +833,25 @@ object SparkEntry {
     // blob byte accessor, so each data byte (past the 44-byte RIFF header)
     // is reconstructed from its two hex digits; sums are exact in doubles at
     // these magnitudes so the 6-dp rounding matches the engine bit-for-bit
+    // oracle domain = decodable 8-bit mono WAV (everything the engine's
+    // format guard accepts from THIS fixture); the audio/% filter and the
+    // empty-data coalesces mirror the engine's startsWith("audio/") gate and
+    // its max(len,1)-divisor zeros, so a 44-byte (zero-sample) clip or a
+    // second audio container family keeps the two sides aligned
     "m_audio_stats" ->
       s"""WITH b AS (SELECT doc_id, media_ref, hex(bytes) AS h, octet_length(bytes) AS n
-         |  FROM ${fixturesSql("media")} WHERE content_type = 'audio/wav'),
+         |  FROM ${fixturesSql("media")} WHERE content_type LIKE 'audio/%'),
          |s AS (SELECT doc_id, media_ref, n,
          |  list_transform(range(44, n), i ->
          |    (strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
          |    + strpos('0123456789ABCDEF', h[2*i+2]) - 1 - 128) AS v
          |  FROM b)
          |SELECT doc_id, media_ref, CAST(n - 44 AS BIGINT) AS n_samples,
-         |  round(list_aggregate(list_transform(v, x -> CAST(abs(x) AS DOUBLE)), 'sum')
+         |  round(coalesce(list_aggregate(list_transform(v, x -> CAST(abs(x) AS DOUBLE)), 'sum'), 0)
          |    / greatest(n - 44, 1), 6) AS mean_abs,
-         |  round(sqrt(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * x), 'sum')
+         |  round(sqrt(coalesce(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * x), 'sum'), 0)
          |    / greatest(n - 44, 1)), 6) AS rms,
-         |  CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max') AS INTEGER) AS peak
+         |  CAST(coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0) AS INTEGER) AS peak
          |FROM s""".stripMargin,
     "m_media_join" ->
       s"""SELECT d.doc_id AS doc_id, u.media_ref AS media_ref, u.offset AS offset,

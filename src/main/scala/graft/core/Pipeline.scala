@@ -189,12 +189,14 @@ object Pipeline {
     }
 
     if (cfg.gopher) {
+      // a purely row-local gate: filter with the keep PREDICATE — one scan,
+      // zero shuffle (the report-form self-join would scan twice and
+      // exchange both sides for nothing; s4's join below genuinely needs a
+      // join because ranking is global)
       rows += runStage(spark, cfg, "s3g_gopher", Seq(current),
         s"minStopHits=${cfg.gopherMinStopHits}") { in =>
-        in.join(graft.functions.TextAnalysis
-            .gopherRules(in, minStopHits = cfg.gopherMinStopHits)
-            .where(col("keep")).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
+        in.where(graft.functions.TextAnalysis
+          .gopherKeep(minStopHits = cfg.gopherMinStopHits))
       }
       current = s"${cfg.outPath}/s3g_gopher"
       checkpoint("s3g_gopher")

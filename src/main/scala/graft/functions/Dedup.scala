@@ -260,12 +260,18 @@ object Dedup {
     * size and a df-cap would hide them) are still found and collapsed to one
     * representative. Not SQL-oracle-able (hash-dependent); recall is
     * spec-tested with planted clusters. */
-  def dropNearDuplicatesCCLsh(documents: DataFrame, threshold: Double = 0.8,
-                              ngram: Int = 3): DataFrame = {
-    val comps = connectedComponents(minHashNearDuplicates(documents, threshold, ngram = ngram))
+  /** Shared closure-drop step: collapse each near-dup component of the pair
+    * table to its min-id representative — keep-min semantics live HERE, in
+    * one place, for every pair source (MinHash-LSH, exact Jaccard, SimHash). */
+  private def dropByComponents(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
     val losers = comps.where(col("doc_id") =!= col("component")).select(col("doc_id"))
     documents.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  def dropNearDuplicatesCCLsh(documents: DataFrame, threshold: Double = 0.8,
+                              ngram: Int = 3): DataFrame =
+    dropByComponents(documents, minHashNearDuplicates(documents, threshold, ngram = ngram))
 
   /** Component-closure dedup over exact n-gram Jaccard pairs: every document
     * in a near-dup component except its min-id representative is dropped.
@@ -273,12 +279,8 @@ object Dedup {
     * components — and hence the survivors — are DuckDB-checkable via a
     * recursive transitive closure.) */
   def dropNearDuplicatesCC(documents: DataFrame, threshold: Double = 0.8,
-                           ngram: Int = 3, maxDocFreq: Int = 100): DataFrame = {
-    val comps = connectedComponents(
-      ngramJaccardPairs(documents, ngram, threshold, maxDocFreq))
-    val losers = comps.where(col("doc_id") =!= col("component")).select(col("doc_id"))
-    documents.join(losers, Seq("doc_id"), "left_anti")
-  }
+                           ngram: Int = 3, maxDocFreq: Int = 100): DataFrame =
+    dropByComponents(documents, ngramJaccardPairs(documents, ngram, threshold, maxDocFreq))
 
   // ------------------------------------------------------------- MinHash
 
@@ -555,11 +557,8 @@ object Dedup {
     * pair REPORT and a survivors DROP): near-identical documents by Hamming
     * distance collapse to their min-id representative. Same CC machinery,
     * same keep-min semantics as [[dropNearDuplicatesCCLsh]]. */
-  def dropNearDuplicatesSimHash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val comps = connectedComponents(simHashNearDuplicates(documents, maxHamming))
-    val losers = comps.where(col("doc_id") =!= col("component")).select(col("doc_id"))
-    documents.join(losers, Seq("doc_id"), "left_anti")
-  }
+  def dropNearDuplicatesSimHash(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    dropByComponents(documents, simHashNearDuplicates(documents, maxHamming))
 
   // -------------------------------------------------- embedding near-dup
 

@@ -103,11 +103,13 @@ object TextAnalysis {
     *
     * Null-text docs are unscorable: measurement columns stay null and
     * `keep` is false (same contract as quality ranking). */
-  def gopherRules(documents: DataFrame,
-                  minTokens: Int = 10, maxTokens: Int = 100000,
-                  minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
-                  maxSymbolRatio: Double = 0.2, minAlphaTokenFrac: Double = 0.7,
-                  minStopHits: Int = 2): DataFrame = {
+  /** The five rule measurement expressions + the composite keep predicate
+    * over a `text` column — one construction shared by the report form
+    * ([[gopherRules]]) and the filter form ([[gopherKeep]]). */
+  private def gopherExprs(minTokens: Int, maxTokens: Int,
+                          minMeanWordLen: Double, maxMeanWordLen: Double,
+                          maxSymbolRatio: Double, minAlphaTokenFrac: Double,
+                          minStopHits: Int): (Column, Column, Column, Column, Column, Column) = {
     val norm = normalized(col("text"))
     val n = tokenCount(col("text")).cast("double")
     val meanLen = when(n === 0, lit(0.0))
@@ -118,6 +120,34 @@ object TextAnalysis {
     val alphaFrac = when(n === 0, lit(0.0))
       .otherwise(size(filter(tokens(col("text")), t => t.rlike("[a-z]"))).cast("double") / n)
     val stops = stopHits(col("text"), enStop)
+    val keep = coalesce(
+      n >= minTokens && n <= maxTokens &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio &&
+        alphaFrac >= minAlphaTokenFrac &&
+        stops >= minStopHits,
+      lit(false))
+    (n, meanLen, symbolRatio, alphaFrac, stops, keep)
+  }
+
+  /** The composite keep PREDICATE alone — for `documents.where(gopherKeep())`
+    * pipelines: a purely row-local gate, so the filter form is a single scan
+    * with zero shuffle (the report form or a self-join would scan twice). */
+  def gopherKeep(minTokens: Int = 10, maxTokens: Int = 100000,
+                 minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                 maxSymbolRatio: Double = 0.2, minAlphaTokenFrac: Double = 0.7,
+                 minStopHits: Int = 2): Column =
+    gopherExprs(minTokens, maxTokens, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, minAlphaTokenFrac, minStopHits)._6
+
+  def gopherRules(documents: DataFrame,
+                  minTokens: Int = 10, maxTokens: Int = 100000,
+                  minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                  maxSymbolRatio: Double = 0.2, minAlphaTokenFrac: Double = 0.7,
+                  minStopHits: Int = 2): DataFrame = {
+    val (n, meanLen, symbolRatio, alphaFrac, stops, keep) =
+      gopherExprs(minTokens, maxTokens, minMeanWordLen, maxMeanWordLen,
+        maxSymbolRatio, minAlphaTokenFrac, minStopHits)
     documents.select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
@@ -125,13 +155,7 @@ object TextAnalysis {
       round(symbolRatio, 6).as("symbol_ratio"),
       round(alphaFrac, 6).as("alpha_token_frac"),
       stops.cast("long").as("stop_hits"),
-      coalesce(
-        n >= minTokens && n <= maxTokens &&
-          meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
-          symbolRatio <= maxSymbolRatio &&
-          alphaFrac >= minAlphaTokenFrac &&
-          stops >= minStopHits,
-        lit(false)).as("keep"))
+      keep.as("keep"))
   }
 
   /** Character n-gram shingles (distinct) of the normalized text — the

@@ -143,6 +143,16 @@ object Multimodal {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(if (m.bytes == null) Array.emptyByteArray else m.bytes))
             try {
+              // the byte→amplitude mapping below is 8-bit mono specific;
+              // other decodable formats (16-bit LE is the common real-world
+              // one) would silently compute stats over interleaved
+              // LSB/MSB bytes — skip them instead (quarantine discipline;
+              // extension path: AudioSystem.getAudioInputStream(target8bit,
+              // ais) converts before the fold)
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
+                throw new javax.sound.sampled.UnsupportedAudioFileException(
+                  s"expected 8-bit mono PCM, got $fmt")
               val data = ais.readAllBytes()
               var sumAbs = 0.0; var sumSq = 0.0; var peak = 0
               var i = 0
