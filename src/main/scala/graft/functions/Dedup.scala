@@ -313,11 +313,14 @@ object Dedup {
     require(numBands >= 1 && numHashes % numBands == 0,
       s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
-    // fused text→signature expression: one eval per row (a CodegenFallback
-    // expression with HOF children drags those children into interpreted
-    // eval — measured as the dominant cost of the earlier formulation)
-    val sigs = documents
-      .select(col("doc_id"), MinHashTextExpr(col("text"), numHashes, ngram).as("sig"))
+    // fused text→signature / text→shingle-hash expressions: one eval per row
+    // (a CodegenFallback expression with HOF children drags those children
+    // into interpreted eval — measured as the dominant cost of the earlier
+    // formulation). The shingle-hash array rides along for the verify stage.
+    val pre = documents.select(col("doc_id"),
+      MinHashTextExpr(col("text"), numHashes, ngram).as("sig"),
+      ShingleHashExpr(col("text"), ngram).as("sh"))
+    val sigs = pre.select(col("doc_id"), col("sig"))
     // band key = xxhash64 over the band's signature slots directly (slots
     // resolved at plan time) — fully codegen
     val bandHashes = (0 until numBands).map { b =>
@@ -330,22 +333,26 @@ object Dedup {
       .join(banded.select(col("band_hash"), col("doc_id").as("b")), Seq("band_hash"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    // exact-Jaccard verification ONLY on the (small) candidate set: texts
-    // join onto the pairs; shingles AND signatures recomputed post-join on
-    // candidate rows only. Joining `sigs` back instead would re-evaluate the
-    // fused MinHashTextExpr over the FULL corpus twice more (the sa/sb
-    // branches shuffle on different keys, so nothing reuses) — the exact
-    // full-corpus cost the fused one-eval design exists to pay once.
-    val ta = documents.select(col("doc_id").as("a"), col("text").as("text_a"))
-    val tb = documents.select(col("doc_id").as("b"), col("text").as("text_b"))
-    cand.join(ta, "a").join(tb, "b")
-      .withColumn("sig_a", MinHashTextExpr(col("text_a"), numHashes, ngram))
-      .withColumn("sig_b", MinHashTextExpr(col("text_b"), numHashes, ngram))
-      .withColumn("sh_a", TextAnalysis.wordShingles(col("text_a"), ngram))
-      .withColumn("sh_b", TextAnalysis.wordShingles(col("text_b"), ngram))
+    // exact-Jaccard verification ONLY on the candidate set, via the
+    // PRECOMPUTED per-doc arrays (two more full-corpus evals of the fused
+    // expressions as the a/b branches shuffle on different keys — O(corpus)
+    // each). The r03 shape instead re-ran the fused sketch AND an
+    // interpreted word-shingle HOF per CANDIDATE PAIR SIDE: candidates grow
+    // superlinearly with corpus size (band collisions are pairwise), so at
+    // 20k bench docs that was millions of candidates × milliseconds of
+    // interpreted eval each — a multi-hour stall (caught live in the r04
+    // pipeline run). O(corpus) beats O(candidates × doc_len) the moment
+    // candidates exceed the corpus, which is exactly the regime LSH is for.
+    cand
+      .join(pre.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("sh").as("sh_a")), Seq("a"))
+      .join(pre.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / lit(numHashes.toDouble))
+      // Jaccard over the 8-byte shingle HASHES — identical to string-shingle
+      // Jaccard up to 64-bit collisions (the same equivalence the
+      // d_ngram_jaccard oracle rests on), with native long-array intersects
+      // instead of interpreted string-array ops
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("est_jaccard"), 6).as("est_jaccard"),
