@@ -89,7 +89,7 @@ object PlanAudit {
       graft.queries.SpanQueries.countByKind(fx))
     sb ++= explainOf("q_section_text (zero-shuffle section slice)",
       graft.queries.SpanQueries.sectionText(fx, "shopping"))
-    sb ++= explainOf("d_minhash (band join ships ids only; payload re-join on candidates)",
+    sb ++= explainOf("d_minhash (r04 rework — expect: ONE fused minhash_with_shingles eval per corpus row feeding banding AND verify; band join ships ids only; verify joins the PRECOMPUTED (sig, sh) arrays back by id — no per-candidate recompute, no interpreted word-shingle HOFs; null-text rows excluded before banding)",
       graft.functions.Dedup.minHashNearDuplicates(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.5))
     sb ++= explainOf("s_ann_top1 (broadcast queries; window top-k)",

@@ -313,13 +313,20 @@ object Dedup {
     require(numBands >= 1 && numHashes % numBands == 0,
       s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
-    // fused text→signature / text→shingle-hash expressions: one eval per row
-    // (a CodegenFallback expression with HOF children drags those children
-    // into interpreted eval — measured as the dominant cost of the earlier
-    // formulation). The shingle-hash array rides along for the verify stage.
-    val pre = documents.select(col("doc_id"),
-      MinHashTextExpr(col("text"), numHashes, ngram).as("sig"),
-      ShingleHashExpr(col("text"), ngram).as("sh"))
+    // ONE fused text→(signature, shingle-hash) eval per row (a
+    // CodegenFallback expression with HOF children drags those children into
+    // interpreted eval, and two separate fused expressions would redo the
+    // tokenize+shingle+hash sweep — both measured as dominant costs of
+    // earlier formulations). Null-text docs have a null struct and are
+    // EXCLUDED here: they can be near-duplicates of nothing, and their
+    // null signatures would otherwise all share the constant per-band hash
+    // xxhash64(lit(b)) (xxhash64 skips null arguments), turning k null docs
+    // into an O(k²) band-join blowup. The unscorable pass-through contract
+    // lives in the drop* wrappers (left-anti keeps non-candidates).
+    val pre = documents
+      .select(col("doc_id"), MinHashWithShinglesExpr(col("text"), numHashes, ngram).as("f"))
+      .where(col("f").isNotNull)
+      .select(col("doc_id"), col("f.sig").as("sig"), col("f.sh").as("sh"))
     val sigs = pre.select(col("doc_id"), col("sig"))
     // band key = xxhash64 over the band's signature slots directly (slots
     // resolved at plan time) — fully codegen

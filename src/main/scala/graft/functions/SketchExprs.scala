@@ -238,6 +238,47 @@ object MinHashTextExpr {
     ColumnBridge.column(MinHashTextExpr(ColumnBridge.expression(text), numHashes, ngram))
 }
 
+/** Fused text→(MinHash signature, shingle hashes) in ONE pass: the LSH
+  * banding needs the signature and the candidate verify needs the shingle
+  * hashes, and both derive from the SAME tokenize+shingle+hash sweep — two
+  * separate expressions would redo that sweep per row on every corpus pass
+  * (it dominates the stage). The mix loop rides along, so any consumer of
+  * either field pays exactly one sweep. */
+case class MinHashWithShinglesExpr(child: Expression, numHashes: Int, ngram: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "minhash_with_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = SketchTokens.shingleHashes(
+      SketchTokens.tokenize(input.toString), ngram)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = HashUtil.mix(h, k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(sig), new GenericArrayData(hashes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashWithShinglesExpr =
+    copy(child = newChild)
+}
+
+object MinHashWithShinglesExpr {
+  def apply(text: Column, numHashes: Int, ngram: Int): Column =
+    ColumnBridge.column(MinHashWithShinglesExpr(ColumnBridge.expression(text), numHashes, ngram))
+}
+
 /** Fused text→SimHash64 (same rationale as [[MinHashTextExpr]]). */
 case class SimHashTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

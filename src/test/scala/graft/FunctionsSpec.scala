@@ -52,11 +52,19 @@ class FunctionsSpec extends AnyFunSuite {
   test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
     val nearDup = base.replace("lazy", "sleepy") // one-token edit
     val other = "completely unrelated sentence about spark catalyst optimizer rules and physical plans at scale"
-    val df = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+    // null-text docs must be excluded BEFORE banding: a null signature's
+    // band hash is the constant xxhash64(lit(b)), so k null docs would
+    // otherwise form an O(k²) candidate clique
+    val df = docsDf(1L -> base, 2L -> nearDup, 3L -> other,
+      10L -> null, 11L -> null, 12L -> null)
     val pairs = Dedup.minHashNearDuplicates(df, threshold = 0.5).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
     val j = pairs.head.getDouble(3)
     assert(j > 0.5 && j < 1.0)
+    // and the drop wrapper still passes the unscorable rows through
+    val kept = Dedup.dropNearDuplicates(df, 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 11L, 12L).subsetOf(kept))
   }
 
   test("simhash near-dup by hamming distance") {
