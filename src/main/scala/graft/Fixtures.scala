@@ -28,7 +28,7 @@ object Fixtures {
   val MediaPath = s"$Dir/media.parquet"
   val AnnotatedPath = s"$Dir/annotated_docs.parquet"
   /** bump when generator/extractor semantics change: forces a rebuild */
-  val Version = "v8"
+  val Version = "v9"
   val NumDocs = 1200L
 
   @volatile private var ready = false

@@ -316,9 +316,16 @@ object SparkEntry {
       import s.implicits._
       Multimodal.decodeImageMeta(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
+    // REAL multi-frame video decode (ImageIO GIF reader): frame indices and
+    // DECODED dims are dims-predictable by the DuckDB oracle (generator
+    // formula videoFrameCount), so the geometry columns are fully oracled;
+    // the per-frame pixel checksum is decoder-side-only by nature and gets
+    // its parity proof in the frames spec (decode vs generator, pixel-exact)
     "m_frames" -> ((s, _) => {
       import s.implicits._
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
+        .select(col("doc_id"), col("media_ref"), col("frame_idx"),
+          col("width_px"), col("height_px"))
     }),
     // REAL PCM decode through AudioSystem; the oracle recomputes the signal
     // stats from the raw payload bytes (hex-digit arithmetic — DuckDB has no
@@ -327,9 +334,9 @@ object SparkEntry {
       import s.implicits._
       Multimodal.audioStats(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
     }),
-    // the DuckDB-checkable half of m_frames: the frame-sampling GEOMETRY
-    // (frames per media row = ceil(ceil(len/16)/stride)) is payload-
-    // independent even though the per-frame checksums aren't
+    // sampled-frame counts per video = ceil(videoFrameCount(w,h) / stride),
+    // oracled against the generator-known frame-count formula — equality
+    // proves getNumImages(true) walked the real container structure
     "m_frame_counts" -> ((s, _) => {
       import s.implicits._
       Multimodal.sampleFrames(Fixtures.media(s).as[graft.model.MediaRow]).toDF()
@@ -812,45 +819,82 @@ object SparkEntry {
          |  greatest(CAST(round(w * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_w,
          |  greatest(CAST(round(h * least(256.0 / w, 256.0 / h)) AS INTEGER), 1) AS target_h
          |FROM m""".stripMargin,
+    // keyed EXPLICITLY on content_type, mirroring the engine's dispatch
+    // contract: image/png → decoded dims + 'png', audio/wav → rate/duration
+    // + 'wav', anything else (the video family, future modalities) → the
+    // quarantine row ('bin', NULL dims) — so an unexpected fixture modality
+    // diverges the oracle loudly instead of being silently assumed decodable
     "m_decode" ->
       s"""SELECT doc_id, media_ref, content_type,
-         |  CASE WHEN content_type LIKE 'image/%'
+         |  CASE WHEN content_type = 'image/png'
          |    THEN CAST(greatest(width_emu // 9525, 1) AS INTEGER) END AS width_px,
-         |  CASE WHEN content_type LIKE 'image/%'
+         |  CASE WHEN content_type = 'image/png'
          |    THEN CAST(greatest(height_emu // 9525, 1) AS INTEGER) END AS height_px,
          |  CASE WHEN content_type = 'audio/wav' THEN CAST(8000 AS INTEGER) END AS sample_rate_hz,
          |  CASE WHEN content_type = 'audio/wav'
          |    THEN CAST(greatest(width_emu // 9525, 1) * 10 * 1000 // 8000 AS BIGINT) END AS duration_ms,
-         |  CASE WHEN content_type = 'audio/wav' THEN 'wav' ELSE 'png' END AS format,
+         |  CASE WHEN content_type = 'image/png' THEN 'png'
+         |       WHEN content_type = 'audio/wav' THEN 'wav'
+         |       ELSE 'bin' END AS format,
          |  CAST(octet_length(bytes) AS INTEGER) AS byte_len,
          |  md5(hex(bytes)) AS checksum_md5
          |FROM ${fixturesSql("media")}""".stripMargin,
+    // the video family's frame GEOMETRY is generator-predictable from the
+    // EMU dims (videoFrameCount = 3 + (w+h) % 10, sampled every stride=4):
+    // matching rows prove the engine's getNumImages(true)/read(i) walked
+    // the real container — the per-frame pixel checksums (decoder-side by
+    // nature) are proven generator-equal in the frames spec instead
+    "m_frames" ->
+      s"""WITH v AS (SELECT doc_id, media_ref,
+         |    CAST(greatest(width_emu // 9525, 1) AS INTEGER) AS w,
+         |    CAST(greatest(height_emu // 9525, 1) AS INTEGER) AS h
+         |  FROM ${fixturesSql("media")} WHERE content_type LIKE 'video/%'),
+         |f AS (SELECT doc_id, media_ref, w, h, 3 + (w + h) % 10 AS nf FROM v)
+         |SELECT doc_id, media_ref, CAST(u.i AS INTEGER) AS frame_idx,
+         |  w AS width_px, h AS height_px
+         |FROM f, UNNEST(range(0, nf, 4)) AS u(i)""".stripMargin,
     "m_frame_counts" ->
       s"""SELECT doc_id, media_ref,
-         |  CAST(ceil(ceil(octet_length(bytes) / 16.0) / 4.0) AS BIGINT) AS n_frames
-         |FROM ${fixturesSql("media")} WHERE octet_length(bytes) > 0""".stripMargin,
+         |  CAST((3 + (greatest(width_emu // 9525, 1) + greatest(height_emu // 9525, 1)) % 10 + 3) // 4
+         |    AS BIGINT) AS n_frames
+         |FROM ${fixturesSql("media")} WHERE content_type LIKE 'video/%'""".stripMargin,
     // recompute the PCM signal stats from the payload bytes: DuckDB has no
     // blob byte accessor, so each data byte (past the 44-byte RIFF header)
-    // is reconstructed from its two hex digits; sums are exact in doubles at
-    // these magnitudes so the 6-dp rounding matches the engine bit-for-bit
-    // oracle domain = decodable 8-bit mono WAV (everything the engine's
-    // format guard accepts from THIS fixture); the audio/% filter and the
-    // empty-data coalesces mirror the engine's startsWith("audio/") gate and
-    // its max(len,1)-divisor zeros, so a 44-byte (zero-sample) clip or a
-    // second audio container family keeps the two sides aligned
+    // is reconstructed from its two hex digits; bits-per-sample (header
+    // byte 34) and channel count (header byte 22) are read from the RIFF
+    // header the same way a real parser reads them, selecting the fold:
+    // 8-bit mono (unsigned, midpoint 128), 16-bit LE mono (signed via
+    // (u+32768)%65536-32768), 16-bit LE stereo (per-frame truncating
+    // average (l+r)//2 — DuckDB's toward-zero integer division ≡ the
+    // engine's Java (l+r)/2). Sums are
+    // exact in doubles at these magnitudes so the 6-dp rounding matches the
+    // engine bit-for-bit; n_samples counts FRAMES in every family
     "m_audio_stats" ->
       s"""WITH b AS (SELECT doc_id, media_ref, hex(bytes) AS h, octet_length(bytes) AS n
          |  FROM ${fixturesSql("media")} WHERE content_type LIKE 'audio/%'),
-         |s AS (SELECT doc_id, media_ref, n,
+         |d AS (SELECT doc_id, media_ref, n,
+         |  (strpos('0123456789ABCDEF', h[45]) - 1) * 16 + strpos('0123456789ABCDEF', h[46]) - 1 AS ch,
+         |  (strpos('0123456789ABCDEF', h[69]) - 1) * 16 + strpos('0123456789ABCDEF', h[70]) - 1 AS bits,
          |  list_transform(range(44, n), i ->
          |    (strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
-         |    + strpos('0123456789ABCDEF', h[2*i+2]) - 1 - 128) AS v
-         |  FROM b)
-         |SELECT doc_id, media_ref, CAST(n - 44 AS BIGINT) AS n_samples,
+         |    + strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS bv
+         |  FROM b),
+         |s AS (SELECT doc_id, media_ref,
+         |  CASE WHEN bits = 8 THEN n - 44 ELSE (n - 44) // (2 * ch) END AS fr,
+         |  CASE
+         |    WHEN bits = 8 THEN list_transform(bv, x -> x - 128)
+         |    WHEN ch = 1 THEN list_transform(range(0, (n - 44) // 2), i ->
+         |      ((bv[2*i+1] + 256 * bv[2*i+2] + 32768) % 65536) - 32768)
+         |    ELSE list_transform(range(0, (n - 44) // 4), i ->
+         |      ((((bv[4*i+1] + 256 * bv[4*i+2] + 32768) % 65536) - 32768)
+         |       + (((bv[4*i+3] + 256 * bv[4*i+4] + 32768) % 65536) - 32768)) // 2)
+         |  END AS v
+         |  FROM d)
+         |SELECT doc_id, media_ref, CAST(fr AS BIGINT) AS n_samples,
          |  round(coalesce(list_aggregate(list_transform(v, x -> CAST(abs(x) AS DOUBLE)), 'sum'), 0)
-         |    / greatest(n - 44, 1), 6) AS mean_abs,
+         |    / greatest(fr, 1), 6) AS mean_abs,
          |  round(sqrt(coalesce(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * x), 'sum'), 0)
-         |    / greatest(n - 44, 1)), 6) AS rms,
+         |    / greatest(fr, 1)), 6) AS rms,
          |  CAST(coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0) AS INTEGER) AS peak
          |FROM s""".stripMargin,
     "m_media_join" ->

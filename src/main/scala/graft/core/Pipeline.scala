@@ -98,8 +98,12 @@ object Pipeline {
     val fs = FileSystem.get(new java.net.URI(outPath), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(s"$outPath/_pipeline/stage=$stage")
     if (!fs.exists(dir)) None
+    // ANY unreadable lineage row — empty dir (AnalysisException), torn
+    // parquet footer (SparkException/IOException at collect) — means the
+    // commit never completed: re-derive the stage. The row is one tiny
+    // record and re-deriving is always safe, so NonFatal, not a narrow catch.
     else try spark.read.parquet(dir.toString).as[StageLineage].collect().headOption
-    catch { case _: org.apache.spark.sql.AnalysisException => None } // torn write → rerun
+    catch { case scala.util.control.NonFatal(_) => None } // torn write → rerun
   }
 
   /** Run one resumable stage: skip if committed with a matching input

@@ -451,6 +451,62 @@ object SyntheticCorpus {
   @inline def audioSampleAt(seed: Long, i: Int): Byte =
     (((seed >>> (i % 8)) + i * 7) & 0xff).toByte
 
+  /** Deterministic 16-bit signed sample for the wide-PCM wav family, per
+    * frame `i` and channel `ch`. */
+  @inline def audioSample16At(seed: Long, i: Int, ch: Int): Short =
+    ((((seed >>> ((i + ch) % 11)) + i * 131L + ch * 7919L) & 0xffffL) - 32768L).toShort
+
+  /** Frame count of a video payload — a pure function of the EMU-derived
+    * pixel dims (3..12), so an independent engine (the DuckDB oracle)
+    * predicts it from the media table's columns alone, the same trick the
+    * image family uses for decoded dims. */
+  @inline def videoFrameCount(w: Int, h: Int): Int = 3 + (w + h) % 10
+
+  /** Per-frame pattern seed (golden-ratio mix keeps frames distinct). */
+  @inline def frameSeed(seed: Long, frame: Int): Long =
+    seed ^ (0x9E3779B97F4A7C15L * (frame + 1))
+
+  /** One video frame as an INDEXED-color image (`TYPE_BYTE_INDEXED`, the
+    * default 256-color palette): GIF's palette model round-trips it
+    * LOSSLESSLY, so pixels decoded back out of the container equal this
+    * image's pixels exactly — the property the frame-checksum parity spec
+    * rests on (a true-color frame would be quantized by the GIF writer and
+    * no longer generator-predictable). */
+  def gifFrame(seed: Long, w: Int, h: Int, frame: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val fs = frameSeed(seed, frame)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelAt(fs, x, y)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Real multi-frame animated GIF via the JDK's ImageIO GIF sequence
+    * writer (`prepareWriteSequence`/`writeToSequence`, `java.desktop`) — the
+    * container's "video" analog: genuinely multi-frame, genuinely decoded
+    * frame by frame on the read side. Real video containers (MP4/H.264)
+    * need an external demuxer the JDK does not ship; that honesty note
+    * lives with the decoder ([[graft.multimodal.Multimodal.sampleFrames]]). */
+  def gifBytes(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var i = 0
+      while (i < nFrames) {
+        writer.writeToSequence(new javax.imageio.IIOImage(gifFrame(seed, w, h, i), null, null), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Real RIFF/WAVE payload: canonical 44-byte header + 8-bit mono PCM,
     * parseable by `javax.sound.sampled.AudioSystem` (also `java.desktop`). */
   def wavBytes(seed: Long, nSamples: Int): Array[Byte] = {
@@ -465,6 +521,33 @@ object SyntheticCorpus {
     buf.put("data".getBytes("US-ASCII")).putInt(nSamples)
     var i = 0
     while (i < nSamples) { buf.put(audioSampleAt(seed, i)); i += 1 }
+    buf.array()
+  }
+
+  /** Real RIFF/WAVE payload, 16-bit signed little-endian PCM, mono or
+    * stereo — the overwhelmingly common real-world WAV shape (8-bit mono is
+    * the toy case). Same canonical 44-byte header, so the decode oracle
+    * reads format facts (bits, channels) straight out of the container
+    * header bytes like a real parser. */
+  def wavBytes16(seed: Long, nFrames: Int, channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels must be 1|2, got $channels")
+    val blockAlign = channels * 2
+    val dataLen = nFrames * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(AudioSampleRate).putInt(AudioSampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) { buf.putShort(audioSample16At(seed, i, c)); c += 1 }
+      i += 1
+    }
     buf.array()
   }
 
@@ -484,13 +567,29 @@ object SyntheticCorpus {
       val w = math.max(1L, cx / EmuPerPx).toInt
       val h = math.max(1L, cy / EmuPerPx).toInt
       val name = a.getOrElse("name", "")
-      if (java.lang.Long.remainderUnsigned(seed, 5) == 0) {
-        val bytes = wavBytes(seed, w * AudioSamplesPerPx)
-        MediaRow(doc.doc_id, s.media_ref, "audio/wav", cx, cy,
-          name.stripSuffix(".png") + ".wav", a.getOrElse("alt", ""), bytes)
-      } else {
-        MediaRow(doc.doc_id, s.media_ref, "image/png", cx, cy,
-          name, a.getOrElse("alt", ""), pngBytes(seed, w, h))
+      java.lang.Long.remainderUnsigned(seed, 5) match {
+        case 0 =>
+          // audio family: 8-bit mono / 16-bit mono / 16-bit stereo, all at
+          // AudioSampleRate with w*AudioSamplesPerPx FRAMES — duration stays
+          // EMU-predictable while bits/channels vary (those the oracle reads
+          // from the RIFF header bytes, like a real parser)
+          val nFrames = w * AudioSamplesPerPx
+          val bytes = java.lang.Long.remainderUnsigned(seed >>> 8, 3) match {
+            case 0 => wavBytes(seed, nFrames)
+            case 1 => wavBytes16(seed, nFrames, 1)
+            case _ => wavBytes16(seed, nFrames, 2)
+          }
+          MediaRow(doc.doc_id, s.media_ref, "audio/wav", cx, cy,
+            name.stripSuffix(".png") + ".wav", a.getOrElse("alt", ""), bytes)
+        case 1 =>
+          // video family: a real multi-frame animated GIF with a
+          // dims-predictable frame count (videoFrameCount)
+          MediaRow(doc.doc_id, s.media_ref, "video/gif", cx, cy,
+            name.stripSuffix(".png") + ".gif", a.getOrElse("alt", ""),
+            gifBytes(seed, w, h, videoFrameCount(w, h)))
+        case _ =>
+          MediaRow(doc.doc_id, s.media_ref, "image/png", cx, cy,
+            name, a.getOrElse("alt", ""), pngBytes(seed, w, h))
       }
     }
 }

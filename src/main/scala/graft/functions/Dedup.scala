@@ -323,10 +323,18 @@ object Dedup {
     // xxhash64(lit(b)) (xxhash64 skips null arguments), turning k null docs
     // into an O(k²) band-join blowup. The unscorable pass-through contract
     // lives in the drop* wrappers (left-anti keeps non-candidates).
+    // persisted: `pre` feeds the banding scan AND both verify-join branches
+    // — three consumers whose exchanges key differently, so without the
+    // cache the interpreted CodegenFallback sketch (the dominant cost of
+    // this op) runs three full-corpus sweeps. MEMORY_AND_DISK caps the
+    // worst case at one sweep + columnar reads; eviction is LRU-safe (a
+    // dropped block just recomputes), and the entries are (id, longs)
+    // arrays — a few % of the text corpus they derive from.
     val pre = documents
       .select(col("doc_id"), MinHashWithShinglesExpr(col("text"), numHashes, ngram).as("f"))
       .where(col("f").isNotNull)
       .select(col("doc_id"), col("f.sig").as("sig"), col("f.sh").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = pre.select(col("doc_id"), col("sig"))
     // band key = xxhash64 over the band's signature slots directly (slots
     // resolved at plan time) — fully codegen

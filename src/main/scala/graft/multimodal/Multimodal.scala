@@ -8,16 +8,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata (the reference keeps media bytes out of document.xml
   * the same way, `ImageExtractor.cs:61-81`; FIXTURES.md §2 `media` table).
   *
-  * Decode is REAL for the modalities the JDK ships codecs for:
+  * Decode is REAL for every modality in the pipeline, all on codecs the
+  * JDK ships (`java.desktop`, headless):
   * still images via `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — header-only
   * metadata read in [[decodeImageMeta]], full pixel decode + `Graphics2D`
-  * resample in [[resizeImages]]) and WAV audio via
-  * `javax.sound.sampled.AudioSystem` — both in `java.desktop`, headless.
-  * Video frame extraction ([[sampleFrames]]) remains a clearly-marked
-  * deterministic STUB: there is no ffmpeg/JCodec in this container, and the
-  * JDK has no video codec. Its Spark-side plumbing — flatMap batch shape,
-  * per-partition init seam — is the production shape; only the per-frame
-  * body is the stand-in.
+  * resample in [[resizeImages]]); WAV audio via
+  * `javax.sound.sampled.AudioSystem` (8/16-bit PCM, mono/stereo, full
+  * sample-stream fold in [[audioStats]]); and multi-frame video-analog
+  * containers via ImageIO's animated-GIF reader
+  * (`ImageReader.getNumImages(true)` / `read(i)` — [[sampleFrames]] decodes
+  * every stride-th frame's actual pixels). Real video containers
+  * (MP4/H.264) need an external demuxer (ffmpeg/JCodec) the JDK does not
+  * ship; [[sampleFrames]]' per-partition init seam is exactly where that
+  * demuxer would be constructed — nothing else about the plan changes.
   *
   * Undecodable payloads follow the extraction quarantine discipline: they
   * never kill the task. [[decodeImageMeta]] emits a row with null
@@ -26,14 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** FNV-1a 64 over a byte block — checksum used by the video frame STUB
-    * (kept out of the image/audio paths, which carry a cross-engine
-    * `md5(hex(bytes))` instead). */
-  @inline private def fnv1a64(bytes: Array[Byte], from: Int = 0, until: Int = -1): Long = {
-    val end = if (until < 0) bytes.length else until
+  /** FNV-1a 64 over the DECODED pixel grid of a frame (row-major, 24-bit
+    * RGB, low byte first) — the cross-side parity surface for video frames:
+    * the generator recomputes it from its own indexed frame
+    * ([[graft.corpus.SyntheticCorpus.gifFrame]]) WITHOUT going through the
+    * container, so equality proves the container round-trip decoded the
+    * actual pixels (asserted in the frames spec). */
+  def frameChecksum(img: java.awt.image.BufferedImage): Long = {
     var h = 0xcbf29ce484222325L
-    var i = from
-    while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y) & 0xffffff
+        h ^= (p & 0xffL); h *= 0x100000001b3L
+        h ^= ((p >> 8) & 0xffL); h *= 0x100000001b3L
+        h ^= ((p >> 16) & 0xffL); h *= 0x100000001b3L
+        x += 1
+      }
+      y += 1
+    }
     h
   }
 
@@ -123,11 +138,19 @@ object Multimodal {
   /** Real PCM feature extraction for the audio family: the payload is
     * decoded through `AudioSystem.getAudioInputStream` (actual codec path,
     * not a header peek) and the sample stream reduced to signal statistics
-    * — amplitude mean/RMS/peak around the 8-bit unsigned midpoint. Sums are
-    * exact in doubles at these magnitudes, so the stats are engine-portable
-    * and the DuckDB oracle recomputes them from the raw bytes. Non-audio
-    * rows are filtered upstream of the decode (payload→feature stage);
-    * undecodable payloads are skipped (quarantine discipline). */
+    * — amplitude mean/RMS/peak in the format's native units. Supported
+    * widths: 8-bit unsigned (midpoint 128) and 16-bit signed little-endian
+    * (the overwhelming real-world WAV shape), mono or stereo; a stereo
+    * frame contributes ONE mixed-down value, the truncating average
+    * `(l + r) / 2` (documented: truncation toward zero, not floor/round —
+    * the portable integer-division semantic SQL engines share, so the
+    * DuckDB oracle's `//` mirrors it exactly). `n_samples` counts FRAMES.
+    * Sums are exact in doubles at these magnitudes, so the stats are
+    * engine-portable and the oracle recomputes them from the raw bytes.
+    * Non-audio rows are filtered upstream of the decode (payload→feature
+    * stage); undecodable or out-of-contract formats (24-bit, big-endian,
+    * >2 channels, compressed) are skipped — quarantine discipline; silently
+    * folding unknown layouts byte-wise would be the bug. */
   final case class AudioStats(
       doc_id: String, media_ref: String, n_samples: Long,
       mean_abs: Double, rms: Double, peak: Int)
@@ -143,27 +166,40 @@ object Multimodal {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(if (m.bytes == null) Array.emptyByteArray else m.bytes))
             try {
-              // the byte→amplitude mapping below is 8-bit mono specific;
-              // other decodable formats (16-bit LE is the common real-world
-              // one) would silently compute stats over interleaved
-              // LSB/MSB bytes — skip them instead (quarantine discipline;
-              // extension path: AudioSystem.getAudioInputStream(target8bit,
-              // ais) converts before the fold)
+              // explicit per-layout folds, gated on the DECODER's reported
+              // format (bits/channels/endianness), never on assumptions
+              // about the bytes; anything outside the contract quarantines
               val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
+              val bits = fmt.getSampleSizeInBits
+              val chans = fmt.getChannels
+              val ok = (bits == 8 && chans == 1) ||
+                (bits == 16 && (chans == 1 || chans == 2) && !fmt.isBigEndian)
+              if (!ok)
                 throw new javax.sound.sampled.UnsupportedAudioFileException(
-                  s"expected 8-bit mono PCM, got $fmt")
+                  s"expected 8-bit mono or 16-bit LE mono/stereo PCM, got $fmt")
               val data = ais.readAllBytes()
+              val frameBytes = (bits / 8) * chans
+              val nFrames = data.length / frameBytes
               var sumAbs = 0.0; var sumSq = 0.0; var peak = 0
               var i = 0
-              while (i < data.length) {
-                val v = (data(i) & 0xff) - 128
+              while (i < nFrames) {
+                val v =
+                  if (bits == 8) (data(i) & 0xff) - 128
+                  else {
+                    val o = i * frameBytes
+                    val l = ((data(o) & 0xff) | (data(o + 1) << 8)).toShort.toInt
+                    if (chans == 1) l
+                    else {
+                      val r = ((data(o + 2) & 0xff) | (data(o + 3) << 8)).toShort.toInt
+                      (l + r) / 2 // truncating-average mixdown (see scaladoc)
+                    }
+                  }
                 val a = math.abs(v)
                 sumAbs += a; sumSq += v.toDouble * v; if (a > peak) peak = a
                 i += 1
               }
-              val n = math.max(data.length, 1)
-              Some(AudioStats(m.doc_id, m.media_ref, data.length.toLong,
+              val n = math.max(nFrames, 1)
+              Some(AudioStats(m.doc_id, m.media_ref, nFrames.toLong,
                 BigDecimal(sumAbs / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
                 BigDecimal(math.sqrt(sumSq / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
                 peak))
@@ -173,22 +209,55 @@ object Multimodal {
       }
   }
 
-  /** Frame-sampling STUB for video payloads: every `stride`-th 16-byte block
-    * stands in for a frame — same batch shape (one row in, k rows out via
-    * flatMap) as real frame extraction. The JDK ships no video codec and the
-    * container has no ffmpeg; on a cluster the block fold is replaced by a
-    * demuxer call, nothing else changes. */
-  final case class Frame(doc_id: String, media_ref: String, frame_idx: Int, frame_checksum: Long)
+  /** REAL frame sampling for the video family: the payload's matching
+    * `ImageReader` is resolved from the byte stream, `getNumImages(true)`
+    * scans the container for its true frame count, and every `stride`-th
+    * frame is FULLY PIXEL-DECODED (`read(i)`), emitting its actual decoded
+    * dims plus a checksum over the decoded pixel grid. The JDK's GIF reader
+    * is a genuine multi-frame decoder, which makes the fixture's
+    * animated-GIF "videos" a real decode path end to end; a real MP4/H.264
+    * demuxer (ffmpeg/JCodec — not in the JDK) would be constructed at the
+    * per-partition init seam below and the plan is unchanged.
+    *
+    * Scale notes: one row in → ceil(frames/stride) rows out via flatMap
+    * (the fan-out a frame table needs); a full pixel decode per SAMPLED
+    * frame only — skipped frames cost a header skip, not a decode.
+    * Undecodable payloads quarantine to zero rows, never a task failure. */
+  final case class Frame(doc_id: String, media_ref: String, frame_idx: Int,
+      width_px: Int, height_px: Int, frame_checksum: Long)
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
-    media.flatMap { m =>
-      val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
-      bytes.grouped(16).zipWithIndex.collect {
-        case (blk, idx) if idx % stride == 0 =>
-          Frame(m.doc_id, m.media_ref, idx, fnv1a64(blk))
+    media
+      .filter(m => m.content_type != null && m.content_type.startsWith("video/"))
+      .mapPartitions { it =>
+        // per-partition init seam: a real demuxer is constructed HERE, once
+        it.flatMap { m =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(if (m.bytes == null) Array.emptyByteArray else m.bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Vector.empty
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis) // seekForwardOnly = false → allowSearch OK
+                  val n = r.getNumImages(true)
+                  // materialized BEFORE the reader/stream close (a lazy
+                  // iterator here would decode from a disposed reader)
+                  (0 until n by stride).map { i =>
+                    val img = r.read(i)
+                    Frame(m.doc_id, m.media_ref, i, img.getWidth, img.getHeight,
+                      frameChecksum(img))
+                  }.toVector
+                } finally r.dispose()
+              }
+            } finally iis.close()
+          } catch { case _: Exception => Vector.empty } // corrupt → quarantine
+        }
       }
-    }
   }
 
   /** Resized media row: same table shape as the input (a resize pipeline

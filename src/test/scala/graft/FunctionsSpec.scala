@@ -543,8 +543,11 @@ class FunctionsSpec extends AnyFunSuite {
     import graft.corpus.SyntheticCorpus
     val media = Fixtures.media(spark).as[graft.model.MediaRow]
     val rows = media.collect()
-    val (imgs, wavs) = rows.partition(_.content_type == "image/png")
-    assert(imgs.nonEmpty && wavs.nonEmpty, "fixture must carry both modalities")
+    val imgs = rows.filter(_.content_type == "image/png")
+    val wavs = rows.filter(_.content_type == "audio/wav")
+    val vids = rows.filter(_.content_type == "video/gif")
+    assert(imgs.nonEmpty && wavs.nonEmpty && vids.nonEmpty,
+      "fixture must carry all three modalities")
     val feats = graft.multimodal.Multimodal.decodeImageMeta(media).collect()
     assert(feats.nonEmpty)
     assert(feats.forall(_.byte_len > 0))
@@ -569,6 +572,13 @@ class FunctionsSpec extends AnyFunSuite {
         / SyntheticCorpus.AudioSampleRate))
       assert(f.width_px.isEmpty && f.height_px.isEmpty)
     }
+    // video rows: the metadata stage dispatches on content_type, and video
+    // is NOT its contract — quarantine row ('bin', null dims), with the
+    // real decode living in sampleFrames
+    vids.foreach { m =>
+      val f = featBy((m.doc_id, m.media_ref))
+      assert(f.format == "bin" && f.width_px.isEmpty && f.sample_rate_hz.isEmpty)
+    }
     val again = graft.multimodal.Multimodal.decodeImageMeta(media).collect()
     assert(feats.map(_.checksum_md5).sorted.toSeq == again.map(_.checksum_md5).sorted.toSeq)
     // corrupt/unknown payloads quarantine to a null-dim row, never kill a task
@@ -577,9 +587,43 @@ class FunctionsSpec extends AnyFunSuite {
       graft.model.MediaRow("d", "r2", null, 0L, 0L, "", "", null)).toDS()
     val pf = graft.multimodal.Multimodal.decodeImageMeta(poison).collect()
     assert(pf.length == 2 && pf.forall(f => f.format == "bin" && f.width_px.isEmpty))
+  }
+
+  test("video frame sampling is REAL: decoded GIF frames match the generator pixel-exactly") {
+    import spark.implicits._
+    import graft.corpus.SyntheticCorpus
+    val media = Fixtures.media(spark).as[graft.model.MediaRow]
+    val vids = media.filter(_.content_type == "video/gif").collect()
+    assert(vids.nonEmpty, "fixture must carry the video family")
     val frames = graft.multimodal.Multimodal.sampleFrames(media, stride = 2).collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.frame_idx % 2 == 0))
+      .groupBy(f => (f.doc_id, f.media_ref))
+    // every video row yields exactly the generator-known sampled frames,
+    // with DECODED dims and a checksum over DECODED pixels equal to the
+    // generator's indexed frame recomputed OUTSIDE the container — the
+    // round-trip proof that read(i) produced the actual frame pixels
+    vids.foreach { m =>
+      val seed = SyntheticCorpus.fnv1a64(
+        SyntheticCorpus.CorpusSeed + m.doc_id + ":" + m.media_ref)
+      val w = math.max(1L, m.width_emu / SyntheticCorpus.EmuPerPx).toInt
+      val h = math.max(1L, m.height_emu / SyntheticCorpus.EmuPerPx).toInt
+      val nf = SyntheticCorpus.videoFrameCount(w, h)
+      val got = frames((m.doc_id, m.media_ref)).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq == (0 until nf by 2).toSeq)
+      got.foreach { f =>
+        assert(f.width_px == w && f.height_px == h)
+        assert(f.frame_checksum == graft.multimodal.Multimodal.frameChecksum(
+          SyntheticCorpus.gifFrame(seed, w, h, f.frame_idx)))
+      }
+    }
+    // determinism + quarantine: re-run agrees; corrupt payload → zero rows
+    val again = graft.multimodal.Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.values.flatten.toSeq.sortBy(f => (f.doc_id, f.media_ref, f.frame_idx))
+      .map(_.frame_checksum) ==
+      again.sortBy(f => (f.doc_id, f.media_ref, f.frame_idx)).map(_.frame_checksum).toSeq)
+    val poison = Seq(
+      graft.model.MediaRow("d", "r", "video/gif", 0L, 0L, "", "", Array[Byte](9, 9, 9)),
+      graft.model.MediaRow("d", "r2", "video/gif", 0L, 0L, "", "", null)).toDS()
+    assert(graft.multimodal.Multimodal.sampleFrames(poison).collect().isEmpty)
   }
 
   test("audio stats are REAL: AudioSystem sample stream matches the generator's PCM formula") {
@@ -590,24 +634,37 @@ class FunctionsSpec extends AnyFunSuite {
       .map(s => (s.doc_id, s.media_ref) -> s).toMap
     val wavs = media.filter(_.content_type == "audio/wav").collect()
     assert(stats.size == wavs.length && wavs.nonEmpty)
+    // the fixture's audio family spans all three supported PCM layouts —
+    // assert that, then recompute each row's stats from the generator's
+    // sample formulas (family selected exactly as mediaFor selects it):
+    // equality proves the DECODED stream (via AudioSystem) is the generated
+    // PCM data in every layout, including the 16-bit LE reassembly and the
+    // stereo truncating-average mixdown
+    val families = scala.collection.mutable.Set[Long]()
     wavs.foreach { m =>
       val s = stats((m.doc_id, m.media_ref))
       val n = (math.max(1L, m.width_emu / SyntheticCorpus.EmuPerPx)
         * SyntheticCorpus.AudioSamplesPerPx).toInt
       assert(s.n_samples == n)
-      // recompute from the generator's sample formula — equality here proves
-      // the DECODED stream (via AudioSystem) is the generated PCM data
       val seed = SyntheticCorpus.fnv1a64(
         SyntheticCorpus.CorpusSeed + m.doc_id + ":" + m.media_ref)
+      val family = java.lang.Long.remainderUnsigned(seed >>> 8, 3)
+      families += family
       var sumAbs = 0.0; var sumSq = 0.0; var peak = 0
       (0 until n).foreach { i =>
-        val v = (SyntheticCorpus.audioSampleAt(seed, i) & 0xff) - 128
+        val v = family match {
+          case 0 => (SyntheticCorpus.audioSampleAt(seed, i) & 0xff) - 128
+          case 1 => SyntheticCorpus.audioSample16At(seed, i, 0).toInt
+          case _ => (SyntheticCorpus.audioSample16At(seed, i, 0).toInt
+            + SyntheticCorpus.audioSample16At(seed, i, 1).toInt) / 2
+        }
         sumAbs += math.abs(v); sumSq += v.toDouble * v; peak = math.max(peak, math.abs(v))
       }
-      assert(s.peak == peak)
+      assert(s.peak == peak, s"peak mismatch for family $family")
       assert(math.abs(s.mean_abs - sumAbs / n) < 1e-6)
       assert(math.abs(s.rms - math.sqrt(sumSq / n)) < 1e-6)
     }
+    assert(families == Set(0L, 1L, 2L), s"fixture must exercise all PCM families, got $families")
     // non-audio rows never enter the decode; corrupt audio rows are skipped
     val poison = Seq(graft.model.MediaRow("d", "r", "audio/wav", 0L, 0L, "", "",
       Array[Byte](1, 2, 3))).toDS()
