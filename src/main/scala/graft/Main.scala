@@ -34,6 +34,16 @@ import org.apache.spark.sql.SparkSession
   *                                      // synthetic corpora)
   *   [--keep-frac 0.8]                  // pipeline: quality fraction kept
   *   [--seq-len 2048]                   // pipeline: packed sequence length
+  *   [--drop-lines]                     // pipeline: line-level boilerplate
+  *                                      // removal BEFORE near-dedup
+  *   [--line-max-df 3]                  // pipeline: line doc-freq cap
+  *   [--redact]                         // pipeline: PII scrub after quality
+  *   [--sample en=0.5,und=0.9]          // pipeline: per-language keep
+  *                                      // fractions (stratified rebalance)
+  *   [--sample-default 1.0]             // pipeline: fraction for languages
+  *                                      // not listed in --sample
+  *   [--format parquet|iceberg]         // pipeline: storage seam (DocStore);
+  *                                      // iceberg needs its runtime jar
   * }}}
   *
   * Cluster sizing notes (BASELINE.md round-3): prefer MANY SMALL executors —
@@ -57,6 +67,10 @@ object Main {
           m += "pipeline" -> "true"; i += 1
         case "--gopher" =>
           m += "gopher" -> "true"; i += 1
+        case "--drop-lines" =>
+          m += "drop-lines" -> "true"; i += 1
+        case "--redact" =>
+          m += "redact" -> "true"; i += 1
         case flag if flag.startsWith("--") =>
           if (i + 1 >= args.length || args(i + 1).startsWith("--"))
             sys.error(s"missing value for $flag")
@@ -94,8 +108,9 @@ object Main {
         new java.net.URI(output), spark.sparkContext.hadoopConfiguration)
       val dirs =
         if (opts.contains("pipeline"))
-          Seq("extract", "s1_exact", "s2_neardup", "s3_decontam", "s3g_gopher",
-            "s4_quality", "s5_pack", "_pipeline")
+          Seq("extract", "s1_exact", "s1b_lines", "s2_neardup", "s3_decontam",
+            "s3g_gopher", "s4_quality", "s4r_redact", "s4s_sample", "s5_pack",
+            "_pipeline")
         else Seq("_lineage", "docs", "quarantine")
       dirs.foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$output/$d"), true))
@@ -110,7 +125,16 @@ object Main {
         gopher = opts.contains("gopher"),
         gopherMinStopHits = opts.getOrElse("gopher-min-stop-hits", "2").toInt,
         keepFrac = opts.getOrElse("keep-frac", "0.8").toDouble,
-        seqLen = opts.getOrElse("seq-len", "2048").toInt)
+        seqLen = opts.getOrElse("seq-len", "2048").toInt,
+        dropLines = opts.contains("drop-lines"),
+        lineMaxDocFreq = opts.getOrElse("line-max-df", "3").toInt,
+        redact = opts.contains("redact"),
+        sampleFractions = opts.get("sample").map(_.split(",").iterator.map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.trim -> v.trim.toDouble
+        }.toMap).getOrElse(Map.empty),
+        sampleDefault = opts.getOrElse("sample-default", "1.0").toDouble,
+        format = opts.getOrElse("format", "parquet"))
       val stages = Pipeline.run(spark, cfg)
       stages.foreach(s => println(
         s"GRAFT_STAGE ${s.stage} in=${s.rows_in} out=${s.rows_out} wall_ms=${s.wall_ms}"))

@@ -2,7 +2,7 @@ package graft.core
 
 import graft.model.RawDoc
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** Per-batch lineage row (FIXTURES.md §2 `_lineage`): committed together with
   * each batch's output, it is both the job's metrics sink and its resume
@@ -56,13 +56,14 @@ object Lineage {
     java.lang.Long.toHexString(graft.corpus.SyntheticCorpus.fnv1a64(sig))
   }
 
-  def committedBatches(spark: SparkSession, outPath: String): Map[Int, LineageRow] = {
+  def committedBatches(spark: SparkSession, outPath: String,
+                       store: DocStore = DocStore()): Map[Int, LineageRow] = {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(outPath), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(s"$outPath/_lineage")
     if (!fs.exists(dir)) Map.empty
     else try {
-      spark.read.parquet(s"$outPath/_lineage").as[LineageRow]
+      store.read(spark, s"$outPath/_lineage").as[LineageRow]
         .collect().map(r => r.batch_id -> r).toMap
     } catch {
       // _lineage exists but holds no readable rows (job killed inside the
@@ -80,14 +81,15 @@ object Lineage {
     * (mapPartitions).
     */
   def runBatched(spark: SparkSession, rawPath: String, outPath: String,
-                 numBatches: Int = 8, mode: String = "expr"): Seq[LineageRow] = {
+                 numBatches: Int = 8, mode: String = "expr",
+                 store: DocStore = DocStore()): Seq[LineageRow] = {
     import spark.implicits._
     require(Set("expr", "auto", "typed", "chunked")(mode), s"unknown mode $mode")
     // captured before the per-batch `functions._` wildcard import, which
     // would make a bare `mode` reference ambiguous with functions.mode
     val extractMode = mode
     val batches = inputBatches(spark, rawPath, numBatches)
-    val done = committedBatches(spark, outPath)
+    val done = committedBatches(spark, outPath, store)
     // a previously-committed batch id beyond the current grouping means the
     // output still holds data this run will never overwrite — resuming would
     // leave duplicate documents behind; demand an explicit clean start
@@ -122,10 +124,8 @@ object Lineage {
           try {
             val good = extracted.where(col("error").isNull).select("doc_id", "spans")
             val bad = extracted.where(col("error").isNotNull).select("doc_id", "error")
-            good.write.mode(SaveMode.Overwrite)
-              .parquet(s"$outPath/docs/batch=$batchId")
-            bad.write.mode(SaveMode.Overwrite)
-              .parquet(s"$outPath/quarantine/batch=$batchId")
+            store.write(good, s"$outPath/docs/batch=$batchId")
+            store.write(bad, s"$outPath/quarantine/batch=$batchId")
             val stats = good
               .agg(count(lit(1)), coalesce(sum(size(col("spans"))), lit(0L))).head()
             val (docs, spans) = (stats.getLong(0), stats.getLong(1))
@@ -134,8 +134,7 @@ object Lineage {
               (System.nanoTime() - t0) / 1000000,
               java.time.Instant.now().toString)
             // commit point: lineage row written last
-            Seq(row).toDS().write.mode(SaveMode.Overwrite)
-              .parquet(s"$outPath/_lineage/batch=$batchId")
+            store.write(Seq(row).toDS().toDF(), s"$outPath/_lineage/batch=$batchId")
             row
           } finally extracted.unpersist()
       }

@@ -3,7 +3,7 @@ package graft.core
 import graft.functions.{Dedup, Packing}
 import graft.queries.SpanQueries
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-stage lineage row for the composed training-data pipeline — the same
@@ -27,11 +27,25 @@ final case class StageLineage(
   * {{{
   * raw docs ──extract──▶ spans ──allText──▶ (doc_id, text)
   *   ─▶ s1_exact     dropExactDuplicates        (hash keeper semi-join)
+  *   ─▶ s1b_lines    dropRepeatedLines          (optional, --drop-lines:
+  *                                               line boilerplate BEFORE
+  *                                               near-dedup — nav/footer
+  *                                               lines otherwise glue
+  *                                               unrelated pages into
+  *                                               near-dup clusters)
   *   ─▶ s2_neardup   dropNearDuplicates         (MinHash-LSH + CC closure)
   *   ─▶ s3_decontam  dropContaminated           (13-gram + short-item routes;
   *                                               skipped when no --benchmark)
   *   ─▶ s3g_gopher   gopherRules keep-gate       (optional, --gopher)
   *   ─▶ s4_quality   qualityTopFraction         (exact distributed rank)
+  *   ─▶ s4r_redact   redactPii                  (optional, --redact: scrub
+  *                                               AFTER quality — the score
+  *                                               must see the original text,
+  *                                               and redacting dropped docs
+  *                                               would be wasted work)
+  *   ─▶ s4s_sample   sampleStratified           (optional, --sample/-default:
+  *                                               final corpus rebalance,
+  *                                               deterministic hash split)
   *   ─▶ s5_pack      packSequences              (two-level prefix sum)
   * }}}
   *
@@ -68,7 +82,22 @@ object Pipeline {
       // code, synthetic) sets this to 0 rather than dropping everything
       gopherMinStopHits: Int = 2,
       keepFrac: Double = 0.8,
-      seqLen: Int = 2048)
+      seqLen: Int = 2048,
+      dropLines: Boolean = false,
+      lineMaxDocFreq: Int = 3,
+      redact: Boolean = false,
+      // per-language keep fractions (cap the dominant stratum, keep the
+      // tail whole); the stage runs iff a fraction map is given or the
+      // default is < 1.0
+      sampleFractions: Map[String, Double] = Map.empty,
+      sampleDefault: Double = 1.0,
+      // storage seam: the format every stage table and lineage row is
+      // written/read with (DocStore) — parquet locally, iceberg where its
+      // runtime exists
+      format: String = "parquet") {
+    def sampling: Boolean = sampleFractions.nonEmpty || sampleDefault < 1.0
+    def store: DocStore = DocStore(format)
+  }
 
   /** Fingerprint of a stage's input: every parquet part file (path, length,
     * mtime) under the input dirs, recursively, plus the parameter string —
@@ -93,7 +122,8 @@ object Pipeline {
       sigs.mkString("\n") + s"\nparams=$params"))
   }
 
-  private def committedStage(spark: SparkSession, outPath: String, stage: String): Option[StageLineage] = {
+  private def committedStage(spark: SparkSession, outPath: String, stage: String,
+                             store: DocStore): Option[StageLineage] = {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(outPath), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(s"$outPath/_pipeline/stage=$stage")
@@ -102,7 +132,7 @@ object Pipeline {
     // parquet footer (SparkException/IOException at collect) — means the
     // commit never completed: re-derive the stage. The row is one tiny
     // record and re-deriving is always safe, so NonFatal, not a narrow catch.
-    else try spark.read.parquet(dir.toString).as[StageLineage].collect().headOption
+    else try store.read(spark, dir.toString).as[StageLineage].collect().headOption
     catch { case scala.util.control.NonFatal(_) => None } // torn write → rerun
   }
 
@@ -124,19 +154,20 @@ object Pipeline {
         spark.sparkContext.hadoopConfiguration)
       fs.exists(new Path(s"${cfg.outPath}/$name"))
     }
-    committedStage(spark, cfg.outPath, name) match {
+    val store = cfg.store
+    committedStage(spark, cfg.outPath, name, store) match {
       case Some(row) if row.input_fingerprint == fp && outExists => row // resume: skip
       case _ =>
         val t0 = System.nanoTime()
-        val in = spark.read.parquet(inputDirs.head)
+        val in = store.read(spark, inputDirs.head)
         val out = body(in)
-        out.write.mode(SaveMode.Overwrite).parquet(s"${cfg.outPath}/$name")
-        val written = spark.read.parquet(s"${cfg.outPath}/$name")
+        store.write(out, s"${cfg.outPath}/$name")
+        val written = store.read(spark, s"${cfg.outPath}/$name")
         val row = StageLineage(name, fp, in.count(), written.count(),
           (System.nanoTime() - t0) / 1000000, java.time.Instant.now().toString)
         // commit point: lineage row written last
-        Seq(row).toDS().coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(s"${cfg.outPath}/_pipeline/stage=$name")
+        store.write(Seq(row).toDS().coalesce(1).toDF(),
+          s"${cfg.outPath}/_pipeline/stage=$name")
         row
     }
   }
@@ -161,28 +192,41 @@ object Pipeline {
     // decision ever reads.
     val t0 = System.nanoTime()
     val batchRows = Lineage.runBatched(spark, cfg.rawPath, s"${cfg.outPath}/extract",
-      numBatches = cfg.batches, mode = cfg.mode)
+      numBatches = cfg.batches, mode = cfg.mode, store = cfg.store)
     rows += StageLineage("extract", "per-batch (extract/_lineage)",
       batchRows.map(r => r.doc_count + r.error_count).sum,
       batchRows.map(_.doc_count).sum,
       (System.nanoTime() - t0) / 1000000, java.time.Instant.now().toString)
     checkpoint("extract")
 
-    val extractedDocs = s"${cfg.outPath}/extract/docs"
+    var current = s"${cfg.outPath}/extract/docs"
 
-    rows += runStage(spark, cfg, "s1_exact", Seq(extractedDocs), "") { in =>
+    rows += runStage(spark, cfg, "s1_exact", Seq(current), "") { in =>
       Dedup.dropExactDuplicates(
         SpanQueries.allText(in.select(col("doc_id"), col("spans"))))
     }
+    current = s"${cfg.outPath}/s1_exact"
     checkpoint("s1_exact")
 
-    rows += runStage(spark, cfg, "s2_neardup", Seq(s"${cfg.outPath}/s1_exact"),
+    if (cfg.dropLines) {
+      // line-level boilerplate BEFORE near-dedup: repeated nav/footer lines
+      // otherwise dominate the shingle sets of unrelated pages and glue
+      // them into spurious near-dup clusters (the CCNet/RefinedWeb order)
+      rows += runStage(spark, cfg, "s1b_lines", Seq(current),
+        s"maxDocFreq=${cfg.lineMaxDocFreq}") { in =>
+        Dedup.dropRepeatedLines(in, cfg.lineMaxDocFreq)
+      }
+      current = s"${cfg.outPath}/s1b_lines"
+      checkpoint("s1b_lines")
+    }
+
+    rows += runStage(spark, cfg, "s2_neardup", Seq(current),
       s"threshold=${cfg.threshold},ngram=${cfg.ngram}") { in =>
       Dedup.dropNearDuplicates(in, cfg.threshold, cfg.ngram)
     }
+    current = s"${cfg.outPath}/s2_neardup"
     checkpoint("s2_neardup")
 
-    var current = s"${cfg.outPath}/s2_neardup"
     cfg.benchmarkPath.foreach { bench =>
       rows += runStage(spark, cfg, "s3_decontam", Seq(current, bench),
         s"ngram=${cfg.contaminationNgram}") { in =>
@@ -211,9 +255,39 @@ object Pipeline {
       in.join(Packing.qualityTopFraction(in, cfg.keepFrac).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     }
+    current = s"${cfg.outPath}/s4_quality"
     checkpoint("s4_quality")
 
-    rows += runStage(spark, cfg, "s5_pack", Seq(s"${cfg.outPath}/s4_quality"),
+    if (cfg.redact) {
+      // AFTER quality: the score must see the original text (redaction tags
+      // would perturb punctuation/stopword signals), and scrubbing docs the
+      // quality gate is about to drop would be wasted compute. Pure
+      // per-row codegen regexp chain — one scan, zero shuffle.
+      rows += runStage(spark, cfg, "s4r_redact", Seq(current), "") { in =>
+        in.withColumn("text", graft.functions.TextAnalysis.redactPii(col("text")))
+      }
+      current = s"${cfg.outPath}/s4r_redact"
+      checkpoint("s4r_redact")
+    }
+
+    if (cfg.sampling) {
+      // final corpus rebalance: deterministic md5-hash split per language
+      // stratum — stable under retries/resume (a doc is in or out forever),
+      // evaluated as a scan predicate (no shuffle, no state)
+      val params = "fractions=" + cfg.sampleFractions.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(";") +
+        s",default=${cfg.sampleDefault}"
+      rows += runStage(spark, cfg, "s4s_sample", Seq(current), params) { in =>
+        graft.functions.TextAnalysis.sampleStratified(
+          in.withColumn("lang", graft.functions.TextAnalysis.langGuess(col("text"))),
+          "lang", cfg.sampleFractions, defaultFraction = cfg.sampleDefault)
+          .drop("lang")
+      }
+      current = s"${cfg.outPath}/s4s_sample"
+      checkpoint("s4s_sample")
+    }
+
+    rows += runStage(spark, cfg, "s5_pack", Seq(current),
       s"seqLen=${cfg.seqLen}") { in =>
       Packing.packSequences(in, cfg.seqLen)
     }

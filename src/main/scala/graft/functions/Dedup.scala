@@ -270,8 +270,9 @@ object Dedup {
   }
 
   def dropNearDuplicatesCCLsh(documents: DataFrame, threshold: Double = 0.8,
-                              ngram: Int = 3): DataFrame =
-    dropByComponents(documents, minHashNearDuplicates(documents, threshold, ngram = ngram))
+                              ngram: Int = 3, maxBandBucket: Int = 1024): DataFrame =
+    dropByComponents(documents, minHashNearDuplicates(documents, threshold,
+      ngram = ngram, maxBandBucket = maxBandBucket))
 
   /** Component-closure dedup over exact n-gram Jaccard pairs: every document
     * in a near-dup component except its min-id representative is dropped.
@@ -302,10 +303,27 @@ object Dedup {
     *     (AQE broadcasts the feature side when it fits).
     * Returns pairs (a < b) with estimated (signature-agreement) and exact
     * n-gram Jaccard, filtered at `threshold`.
+    *
+    * `maxBandBucket` — the HOT-band guard: a legitimate near-identical
+    * cluster of k documents (viral boilerplate copied across k pages — the
+    * primary web-dedup target) lands all k members in the SAME band bucket,
+    * and the self-join would emit O(k²) candidate pairs per band; AQE's
+    * skew split parallelizes that bucket but cannot shrink its quadratic
+    * OUTPUT (10^10 pairs for a 100k cluster). Buckets larger than the cap
+    * therefore switch to STAR candidates: every member paired with the
+    * bucket's min-id hub — O(k) edges that keep the cluster fully connected
+    * for the CC-closure drop path (the production consumer). Documented
+    * recall trade for the PAIRS REPORT: member–member pairs of a hot bucket
+    * are only reported transitively through the hub, so a member pair whose
+    * direct Jaccard passes `threshold` while both hub Jaccards fail is
+    * missed — in a bucket of LSH near-identical docs the hub is near every
+    * member, so the loss is second-order (spec-tested with a planted hot
+    * cluster). Small buckets are exhaustive exactly as before.
     */
   def minHashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             numHashes: Int = 32, numBands: Int = 8,
-                            ngram: Int = 3): DataFrame = {
+                            ngram: Int = 3, maxBandBucket: Int = 1024): DataFrame = {
+    require(maxBandBucket >= 2, s"maxBandBucket must be >= 2, got $maxBandBucket")
     // numBands > numHashes would make rowsPerBand 0 — every band hash a
     // per-band CONSTANT shared by all documents, degenerating the band
     // self-join into the full O(N²) cross product this function exists to
@@ -344,10 +362,23 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
-    val cand = banded.select(col("band_hash"), col("doc_id").as("a"))
-      .join(banded.select(col("band_hash"), col("doc_id").as("b")), Seq("band_hash"))
+    // whole-bucket stats (size, min-id hub) ride ONE window over the band
+    // key — the same hash exchange the self-join needs, so no extra
+    // shuffle; rows are (hash, id) pairs only
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))
+    val stats = banded
+      .withColumn("bsz", count(lit(1)).over(bw))
+      .withColumn("hub", min(col("doc_id")).over(bw))
+    val small = stats.where(col("bsz") <= maxBandBucket)
+    val cand = small.select(col("band_hash"), col("doc_id").as("a"))
+      .join(small.select(col("band_hash"), col("doc_id").as("b")), Seq("band_hash"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
+      // hot buckets: star edges hub→member (hub = bucket min, so a < b holds)
+      .unionByName(stats
+        .where(col("bsz") > maxBandBucket && col("doc_id") =!= col("hub"))
+        .select(col("hub").as("a"), col("doc_id").as("b")))
+      .distinct()
     // exact-Jaccard verification ONLY on the candidate set, via the
     // PRECOMPUTED per-doc arrays (two more full-corpus evals of the fused
     // expressions as the a/b branches shuffle on different keys — O(corpus)

@@ -95,46 +95,81 @@ object Packing {
   /** Keep the best `keepFrac` of the corpus by [[TextAnalysis.qualityScore]],
     * ties broken by doc_id — the standard quality-pruning pass, made exact
     * and deterministic (a value-threshold filter is neither: the threshold
-    * is a float quantile and ties straddle it).
+    * is a float quantile and ties straddle it). Output is identical to
+    * `row_number() OVER (ORDER BY quality DESC, doc_id) <= floor(total *
+    * keepFrac)` under EVERY quality distribution.
     *
-    * Global rank without a global window: quality lives in [0, 1], so
-    * `floor(quality * 100)` gives ~101 order-aligned buckets; rank =
-    * (rows in strictly-better buckets, from the tiny prefix aggregate)
-    * + row_number within the bucket. Identical to
-    * `row_number() OVER (ORDER BY quality DESC, doc_id)` — the bucket id is
-    * monotone in quality, and ties can't cross a bucket boundary.
-    * Skew note: quality is a smooth composite score, so bucket occupancy is
-    * spread; a pathological corpus concentrating one bucket degrades to the
-    * skew of ONE window partition, not a single-task global sort.
+    * Plan: quality is computed ONCE into a persisted narrow (doc_id,
+    * quality, bucket) projection (the expensive part is the text scan, and
+    * both the histogram and the rank pass need the scores). A ≤101-row
+    * bucket histogram (`floor(quality * 100)`, order-aligned since the
+    * bucket id is monotone in quality) is collected — a driver fold over a
+    * hundred longs, not a driver loop over data — and drives both the keep
+    * cutoff `k` and the ROUTE:
+    *
+    *  - spread histogram (no bucket holds > half the corpus — the normal
+    *    shape of a smooth composite score): rank = literal per-bucket
+    *    offset + row_number windowed BY BUCKET. One shuffle, fully
+    *    parallel, ties can't cross a bucket boundary.
+    *  - concentrated histogram (constant-quality corpora are real: all-empty
+    *    or boilerplate-heavy shards collapse to one bucket, which would
+    *    degrade the bucket window to a single mega-partition): rank =
+    *    per-partition offset + row_number within a RANGE-partitioned sort.
+    *    `repartitionByRange` samples BOTH sort keys, so even a single
+    *    quality value splits evenly on the doc_id tie-break — no partition
+    *    ever holds the corpus (asserted by the pathological-corpus spec).
+    *    The partition-offset prefix scan runs over ≤ shuffle-partitions
+    *    rows (the same benign coarse-window pattern as [[packSequences]]).
     */
   def qualityTopFraction(documents: DataFrame, keepFrac: Double): DataFrame = {
     require(keepFrac >= 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in [0, 1], got $keepFrac")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // null-text docs have null quality: by contract they are excluded from
+    // BOTH the ranking and the denominator (an unscorable doc is not part
+    // of "the corpus" being pruned — mirrored in the t_quality_top oracle)
     val q = documents.select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .withColumn("bucket", floor(col("quality") * 100).cast("int"))
-      // null-text docs have null quality: by contract they are excluded from
-      // BOTH the ranking and the denominator (an unscorable doc is not part
-      // of "the corpus" being pruned — mirrored in the t_quality_top
-      // oracle). The filter doubles as the canonicalizing null-gate that
-      // lets the counts branch reuse the window's shuffle (see
-      // packSequences).
       .where(col("bucket").isNotNull)
-    val inBucket = Window.partitionBy(col("bucket"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    val local = q.withColumn("rn", row_number().over(inBucket).cast("long"))
-    // bucket counts = max(rn) from the post-window output (single corpus
-    // scan; the totals branch reuses the window's exchange, as in packSequences)
-    val bucketCounts = local.groupBy(col("bucket")).agg(max(col("rn")).as("bcnt"))
-    val coarse = Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, -1)
-    val all = Window.orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = bucketCounts
-      .withColumn("boff", coalesce(sum(col("bcnt")).over(coarse), lit(0L)))
-      .withColumn("total", sum(col("bcnt")).over(all))
-      .select(col("bucket"), col("boff"), col("total"))
-    local.join(broadcast(offsets), Seq("bucket"))
-      .where(col("boff") + col("rn") <= floor(col("total") * keepFrac))
-      .select(col("doc_id"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = q.groupBy(col("bucket")).agg(count(lit(1)).as("bcnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    val total = hist.map(_._2).sum
+    if (total == 0) return q.where(lit(false)).select(col("doc_id"), col("quality"))
+    val k = math.floor(total * keepFrac).toLong
+    val maxShare = hist.map(_._2).max.toDouble / total
+    if (maxShare <= 0.5) {
+      // spread: bucket-partitioned window + literal offsets (broadcast of a
+      // ≤101-row local table)
+      // exclusive prefix sum in quality-desc order: scanLeft yields the
+      // cumulative count BEFORE each bucket (element i of the scan is the
+      // sum of the first i counts), which is exactly that bucket's offset
+      val offsets = hist.scanLeft(0L) { case (acc, (_, c)) => acc + c }
+        .zip(hist).map { case (boff, (b, _)) => (b, boff) }
+      val offDf = broadcast(offsets.toSeq.toDF("bucket", "boff"))
+      val inBucket = Window.partitionBy(col("bucket"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("rn", row_number().over(inBucket).cast("long"))
+        .join(offDf, Seq("bucket"))
+        .where(col("boff") + col("rn") <= k)
+        .select(col("doc_id"), col("quality"))
+    } else {
+      // concentrated: exact rank over a range-partitioned sort (see scaladoc)
+      val ranged = q.repartitionByRange(col("quality").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val inPart = Window.partitionBy(col("pid"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val local = ranged.withColumn("rn", row_number().over(inPart).cast("long"))
+      val pidCounts = local.groupBy(col("pid")).agg(max(col("rn")).as("pcnt"))
+      val coarse = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = pidCounts
+        .withColumn("poff", coalesce(sum(col("pcnt")).over(coarse), lit(0L)))
+        .select(col("pid"), col("poff"))
+      local.join(broadcast(offsets), Seq("pid"))
+        .where(col("poff") + col("rn") <= k)
+        .select(col("doc_id"), col("quality"))
+    }
   }
 }

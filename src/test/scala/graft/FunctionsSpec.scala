@@ -67,6 +67,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Set(10L, 11L, 12L).subsetOf(kept))
   }
 
+  test("hot LSH band bucket: planted near-identical cluster is capped to star edges, still fully collapsed") {
+    // k near-identical docs (tiny distinct suffixes) all but guarantee
+    // identical signatures → ONE band bucket per band holding the whole
+    // cluster: the uncapped self-join would emit O(k²) candidates here
+    val k = 120
+    val cluster = (0L until k.toLong).map(i => i -> (base + s" v$i"))
+    val others = Seq(900L -> "completely unrelated text about catalyst optimizer rules and shuffles",
+      901L -> "another unrelated document mentioning parquet row groups and bloom filters")
+    val df = docsDf((cluster ++ others): _*)
+    // capped: candidate volume is LINEAR in the cluster (star edges via the
+    // bucket hub), not quadratic
+    val capped = Dedup.minHashNearDuplicates(df, threshold = 0.5, maxBandBucket = 50)
+    val cappedPairs = capped.collect()
+    assert(cappedPairs.length < 3 * k,
+      s"cap must bound the hot bucket to O(k) edges, got ${cappedPairs.length}")
+    // star edges anchor at each hot BUCKET's hub (the cluster's variants
+    // spread over a few band buckets): a handful of distinct anchors, never
+    // the quadratic member×member fan-out
+    val anchors = cappedPairs.map(_.getLong(0)).toSet
+    assert(cappedPairs.nonEmpty && anchors.size <= 10,
+      s"expected few hub anchors, got ${anchors.size}")
+    assert(cappedPairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // connectivity is preserved: the CC drop collapses the whole cluster to
+    // its min-id representative, unrelated docs untouched
+    val kept = Dedup.dropNearDuplicatesCCLsh(df, threshold = 0.5, maxBandBucket = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 900L, 901L))
+    // and with the cap above the cluster size the exhaustive path is
+    // unchanged: same survivors, quadratically many verified pairs
+    val uncapped = Dedup.minHashNearDuplicates(df, threshold = 0.5, maxBandBucket = 100000)
+    assert(uncapped.count() > cappedPairs.length.toLong)
+    val keptU = Dedup.dropNearDuplicatesCCLsh(df, threshold = 0.5, maxBandBucket = 100000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptU == kept)
+  }
+
   test("simhash near-dup by hamming distance") {
     val nearDup = base.replace("dog", "cat")
     val other = "absolutely nothing in common with that text whatsoever just noise tokens qwerty asdf zxcv plumbus"
@@ -260,6 +296,51 @@ class FunctionsSpec extends AnyFunSuite {
     val expect = all.sortBy { case (id, q) => (-q, id) }.take((0.8 * all.length).toInt).toMap
     assert(kept == expect)
     assert(kept.size == 160)
+  }
+
+  test("quality top-fraction pathological corpus: one bucket holds everything, output stays exact, no mega-partition") {
+    import graft.functions.Packing
+    // constant-quality corpus: every doc is the SAME text → one quality
+    // value, one bucket — the shape that degrades a bucket-partitioned
+    // window to a single task (all-empty/boilerplate-heavy shards are real)
+    val rows = (0L until 300L).map(i => i -> "identical boilerplate line for every document here")
+    val df = docsDf(rows: _*).repartition(7)
+    val kept = Packing.qualityTopFraction(df, 0.6).collect()
+      .map(r => r.getLong(0)).toSet
+    // exact semantics: rank by (quality desc, doc_id) — constant quality →
+    // pure doc_id order, keep the floor(0.6 * 300) smallest ids
+    assert(kept == (0L until 180L).toSet)
+    // and the fallback's foundation holds: a range partition over BOTH sort
+    // keys splits a constant-quality corpus on the doc_id tie-break, so no
+    // partition ever holds the whole corpus. AQE rightly coalesces 300 tiny
+    // rows back into one partition at TEST scale (partitions far below the
+    // advisory size), which is exactly what it would NOT do to real
+    // partitions — assert the partitioner property with coalescing off.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val q = df.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val sizes = q.repartitionByRange(col("quality").desc, col("doc_id"))
+        .groupBy(spark_partition_id().as("pid")).count()
+        .collect().map(_.getLong(1))
+      assert(sizes.length > 1, "range partitioner must split the constant-quality corpus")
+      assert(sizes.max < 300, s"no partition may hold the whole corpus (sizes=${sizes.toSeq})")
+    } finally spark.conf.set(coalesceKey, prev)
+    // mixed-but-concentrated: 90% of docs in one bucket, 10% spread — the
+    // routed plan must still equal the global rank
+    val mixed = (0L until 200L).map { i =>
+      if (i % 10 == 0) i -> (s"the of and to a in is it that was filler$i " * (1 + (i % 9)).toInt)
+      else i -> "identical boilerplate line for every document here"
+    }
+    val mdf = docsDf(mixed: _*).repartition(5)
+    val got = Packing.qualityTopFraction(mdf, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = mdf.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val expect = all.sortBy { case (id, qq) => (-qq, id) }.take((0.8 * all.length).toInt).toMap
+    assert(got == expect)
   }
 
   test("fused L2NormExpr matches the HOF norm; RhpSigExpr is deterministic and sign-stable") {

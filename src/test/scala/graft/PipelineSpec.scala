@@ -145,6 +145,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(packedBefore.toSeq == packedAfter.toSeq)
   }
 
+  test("full optional chain (drop-lines, redact, stratified sample) runs, gates correctly, and resumes through a kill") {
+    writeInputs()
+    val out = "/tmp/graft_pipeline_full"
+    rmrf(out)
+    val fcfg = cfg(out).copy(dropLines = true, lineMaxDocFreq = 2,
+      redact = true, sampleDefault = 0.7)
+    // run 1: killed right after the redact stage commits
+    intercept[RuntimeException] {
+      Pipeline.run(spark, fcfg, failAfter = Some("s4r_redact"))
+    }
+    assert(Files.exists(Paths.get(s"$out/s4r_redact")))
+    assert(!Files.exists(Paths.get(s"$out/s5_pack")))
+    val stages = Pipeline.run(spark, fcfg)
+    assert(stages.map(_.stage) == Seq("extract", "s1_exact", "s1b_lines",
+      "s2_neardup", "s3_decontam", "s4_quality", "s4r_redact", "s4s_sample", "s5_pack"))
+    val byName = stages.map(s => s.stage -> s).toMap
+    // line stage: row-preserving unless a doc was ALL boilerplate
+    assert(byName("s1b_lines").rows_out <= byName("s1b_lines").rows_in)
+    assert(byName("s2_neardup").rows_in == byName("s1b_lines").rows_out)
+    // redaction is row-preserving; sampling keeps ~70% deterministically
+    assert(byName("s4r_redact").rows_out == byName("s4r_redact").rows_in)
+    val sm = byName("s4s_sample")
+    assert(sm.rows_out < sm.rows_in && sm.rows_out > 0)
+    assert(byName("s5_pack").rows_out == sm.rows_out)
+    // kill/resume parity: identical output to an uninterrupted run
+    val freshOut = "/tmp/graft_pipeline_full_fresh"
+    rmrf(freshOut)
+    Pipeline.run(spark, fcfg.copy(outPath = freshOut))
+    val a = spark.read.parquet(s"$out/s5_pack").orderBy("doc_id").collect()
+    val b = spark.read.parquet(s"$freshOut/s5_pack").orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    // the sample split is the deterministic md5 predicate: the SAME doc set
+    // survives in both runs (resumability contract of a stratified split)
+    val ida = spark.read.parquet(s"$out/s4s_sample").select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    val idb = spark.read.parquet(s"$freshOut/s4s_sample").select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(ida == idb)
+    // changing a sampling parameter invalidates s4s_sample and s5_pack only
+    val third = Pipeline.run(spark, fcfg.copy(sampleDefault = 0.5))
+    val f = stages.map(s => s.stage -> s.committed_at).toMap
+    Seq("s1_exact", "s1b_lines", "s2_neardup", "s3_decontam", "s4_quality",
+      "s4r_redact").foreach { s =>
+      assert(third.find(_.stage == s).get.committed_at == f(s), s)
+    }
+    Seq("s4s_sample", "s5_pack").foreach { s =>
+      assert(third.find(_.stage == s).get.committed_at != f(s), s)
+    }
+  }
+
   test("upstream parameter change invalidates downstream stages transitively") {
     writeInputs()
     val out = "/tmp/graft_pipeline_params"
