@@ -46,7 +46,7 @@ object PlanAudit {
 
     val exprRate = n / exprSec / 8
     val summary =
-      f"""# PLANS — plan audit & hot-path profile (round 4)
+      f"""# PLANS — plan audit & hot-path profile (round 5)
          |
          |## Hot path: encoder overhead
          |
@@ -89,9 +89,21 @@ object PlanAudit {
       graft.queries.SpanQueries.countByKind(fx))
     sb ++= explainOf("q_section_text (zero-shuffle section slice)",
       graft.queries.SpanQueries.sectionText(fx, "shopping"))
-    sb ++= explainOf("d_minhash (r04 rework — expect: ONE fused minhash_with_shingles eval per corpus row feeding banding AND verify; band join ships ids only; verify joins the PRECOMPUTED (sig, sh) arrays back by id — no per-candidate recompute, no interpreted word-shingle HOFs; null-text rows excluded before banding)",
+    sb ++= explainOf("d_minhash (r04 rework + r05 — expect: ONE fused minhash_with_shingles eval per corpus row (r05: the (sig, sh) projection is PERSISTED, so banding and both verify branches read the cache instead of three interpreted sweeps — InMemoryRelation in plan); band join ships ids only; bucket size/hub stats ride a window over the SAME band-hash exchange (the r05 hot-band guard: buckets past maxBandBucket emit O(k) hub star edges, not O(k²) self-join pairs); verify joins the precomputed arrays back by id; null-text rows excluded before banding)",
       graft.functions.Dedup.minHashNearDuplicates(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.5))
+    locally {
+      // r05 hot-band skew drill (VERDICT r04 #5): a planted near-identical
+      // cluster lands in ONE band bucket per band; execute and dump the
+      // final adaptive plan to show the capped star-edge route is what
+      // actually ran (and the candidate count stayed linear in the cluster)
+      val hot = spark.range(150).selectExpr("id AS doc_id",
+        "concat('the quick brown fox jumps over the lazy dog and then runs far away into the deep forest v', id) AS text")
+      val capped = graft.functions.Dedup.minHashNearDuplicates(hot, 0.5, maxBandBucket = 50)
+      val n = capped.count()
+      val fin = capped.queryExecution.executedPlan.toString
+      sb ++= s"## d_minhash EXECUTED adaptive plan under a planted 150-doc hot band (expect: the bsz/hub window shares the band-hash exchange; the bsz>cap branch emits hub star edges - candidate pairs verified = $n, linear in the cluster, vs ~11k uncapped)\n\n```\n$fin\n```\n\n"
+    }
     sb ++= explainOf("s_ann_top1 (broadcast queries; window top-k)",
       graft.functions.Similarity.bruteForceTopK(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),
@@ -155,8 +167,18 @@ object PlanAudit {
         val reused = "ReusedExchange".r.findAllIn(fin).length
         sb ++= s"## t_pack EXECUTED adaptive plan (expect: the bucket-totals branch rides a ReusedExchange of the fine window's shuffle — the corpus parquet is scanned and shuffled ONCE; any FileScan text under the ReusedExchange is the reused reference's printout, not a second execution; ReusedExchange count = $reused)\n\n```\n$fin\n```\n\n"
       }
-      sb ++= explainOf("t_quality_top (r03 — expect: same two-level shape — bucket-partitioned row_number window, coarse scan over the ~101-row aggregate, broadcast join + filter; no global-order Exchange of the corpus)",
+      sb ++= explainOf("t_quality_top SPREAD route (r05 histogram routing — expect: bucket-partitioned row_number window + BroadcastHashJoin against the ≤101-row LITERAL offsets table (LocalTableScan; the histogram collect replaced the coarse-window branch); no global-order Exchange of the corpus)",
         graft.functions.Packing.qualityTopFraction(d, 0.8))
+      locally {
+        // r05 pathological fallback (VERDICT r04 #7): constant-quality corpus
+        // → one bucket holds everything → the router must pick the
+        // range-partitioned exact-rank plan (RangePartitioning on BOTH sort
+        // keys, so the doc_id tie-break splits the single quality value)
+        val const = spark.range(400).selectExpr("id AS doc_id",
+          "'identical boilerplate line for every document here' AS text")
+        sb ++= explainOf("t_quality_top CONCENTRATED route (expect: Exchange rangepartitioning(quality DESC, doc_id) — the corpus splits on the tie-break; window partitioned by pid; coarse prefix over ≤ shuffle-partitions rows; NO single-partition corpus window)",
+          graft.functions.Packing.qualityTopFraction(const, 0.8))
+      }
       locally {
         val nll = graft.functions.TextAnalysis.unigramLogProb(d)
         nll.collect()

@@ -322,7 +322,8 @@ object Dedup {
     */
   def minHashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             numHashes: Int = 32, numBands: Int = 8,
-                            ngram: Int = 3, maxBandBucket: Int = 1024): DataFrame = {
+                            ngram: Int = 3, maxBandBucket: Int = 1024,
+                            cacheSketch: Boolean = false): DataFrame = {
     require(maxBandBucket >= 2, s"maxBandBucket must be >= 2, got $maxBandBucket")
     // numBands > numHashes would make rowsPerBand 0 — every band hash a
     // per-band CONSTANT shared by all documents, degenerating the band
@@ -341,18 +342,25 @@ object Dedup {
     // xxhash64(lit(b)) (xxhash64 skips null arguments), turning k null docs
     // into an O(k²) band-join blowup. The unscorable pass-through contract
     // lives in the drop* wrappers (left-anti keeps non-candidates).
-    // persisted: `pre` feeds the banding scan AND both verify-join branches
-    // — three consumers whose exchanges key differently, so without the
-    // cache the interpreted CodegenFallback sketch (the dominant cost of
-    // this op) runs three full-corpus sweeps. MEMORY_AND_DISK caps the
-    // worst case at one sweep + columnar reads; eviction is LRU-safe (a
-    // dropped block just recomputes), and the entries are (id, longs)
-    // arrays — a few % of the text corpus they derive from.
-    val pre = documents
+    // `pre` feeds the banding scan AND both verify-join branches — three
+    // consumers, so the fused sketch runs three full-corpus sweeps.
+    // `cacheSketch` trades those re-evaluations for a MEMORY_AND_DISK
+    // materialization of the (sig, shingles) arrays. Default OFF, measured
+    // and reasoned: a focused interleaved A/B at sf0.1 (MinhashAB, warm
+    // JVM, min-of-3) read PARITY — 1.157 s uncached vs 1.151 s cached —
+    // i.e. writing + reading ~4 KB of long-arrays per doc through the
+    // columnar cache costs about what the two saved sketch sweeps cost;
+    // and at the 10^12-doc design point the cache side collapses (petabytes
+    // of MEMORY_AND_DISK spill vs pure CPU on rows already flowing), so
+    // re-evaluation is the scale-safe default. Turn it on only for small,
+    // memory-resident corpora iterated repeatedly.
+    val preRaw = documents
       .select(col("doc_id"), MinHashWithShinglesExpr(col("text"), numHashes, ngram).as("f"))
       .where(col("f").isNotNull)
       .select(col("doc_id"), col("f.sig").as("sig"), col("f.sh").as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = if (cacheSketch)
+      preRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else preRaw
     val sigs = pre.select(col("doc_id"), col("sig"))
     // band key = xxhash64 over the band's signature slots directly (slots
     // resolved at plan time) — fully codegen
