@@ -11,6 +11,10 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // the SQL-surface registration under test in GraftExtensionsSpec —
+      // shared here so the spec exercises the same injection path a
+      // production `spark.sql.extensions=graft.GraftExtensions` config uses
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
