@@ -89,7 +89,7 @@ object PlanAudit {
       graft.queries.SpanQueries.countByKind(fx))
     sb ++= explainOf("q_section_text (zero-shuffle section slice)",
       graft.queries.SpanQueries.sectionText(fx, "shopping"))
-    sb ++= explainOf("d_minhash (r04 rework + r05 — expect: ONE fused minhash_with_shingles eval per corpus row (r05: the (sig, sh) projection is PERSISTED, so banding and both verify branches read the cache instead of three interpreted sweeps — InMemoryRelation in plan); band join ships ids only; bucket size/hub stats ride a window over the SAME band-hash exchange (the r05 hot-band guard: buckets past maxBandBucket emit O(k) hub star edges, not O(k²) self-join pairs); verify joins the precomputed arrays back by id; null-text rows excluded before banding)",
+    sb ++= explainOf("d_minhash (r04 rework + r05 — expect: exactly THREE minhash_with_shingles evals total, structurally (not reuse-dependent): ONE under the banding groupBy (candidate edges are synthesized IN-ROW per band bucket — exhaustive pairs within maxBandBucket, hub star edges past it — no band self-join at all), plus the two precomputed-array verify branches; banding shuffles (band_hash, id) pairs only; null-text rows excluded before banding. An intermediate window+self-join form re-evaluated the sketch 5x because column pruning de-canonicalized its three exchange consumers — caught in this dump, replaced by the aggregation)",
       graft.functions.Dedup.minHashNearDuplicates(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.5))
     locally {
@@ -102,7 +102,8 @@ object PlanAudit {
       val capped = graft.functions.Dedup.minHashNearDuplicates(hot, 0.5, maxBandBucket = 50)
       val n = capped.count()
       val fin = capped.queryExecution.executedPlan.toString
-      sb ++= s"## d_minhash EXECUTED adaptive plan under a planted 150-doc hot band (expect: the bsz/hub window shares the band-hash exchange; the bsz>cap branch emits hub star edges - candidate pairs verified = $n, linear in the cluster, vs ~11k uncapped)\n\n```\n$fin\n```\n\n"
+      val sweeps = "minhash_with_shingles".r.findAllIn(fin).length
+      sb ++= s"## d_minhash EXECUTED adaptive plan under a planted 150-doc hot band (expect: the hot bucket emits hub star edges from the banding aggregation - candidate pairs verified = $n, linear in the cluster, vs ~11k uncapped; minhash_with_shingles eval sites in the executed plan = $sweeps - the structural bound is 3: one banding sweep + two verify branches)\n\n```\n$fin\n```\n\n"
     }
     sb ++= explainOf("s_ann_top1 (broadcast queries; window top-k)",
       graft.functions.Similarity.bruteForceTopK(

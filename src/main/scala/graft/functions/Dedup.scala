@@ -294,11 +294,12 @@ object Dedup {
     MinHashSigExpr(shingles, numHashes)
 
   /** LSH candidate pairs: band the signature (`numBands` bands of
-    * `rowsPerBand` slots), hash each band, self-join on (band_idx,
-    * band_hash). Plan discipline for scale:
+    * `rowsPerBand` slots), hash each band, and synthesize candidate edges
+    * per band bucket. Plan discipline for scale:
     *  1. shingles are materialized ONCE per row (not re-derived per hash);
-    *  2. the band self-join shuffles ONLY (band, doc_id) pairs — never the
-    *     signature or shingle payloads;
+    *  2. banding shuffles ONLY (band_hash, doc_id) pairs — never the
+    *     signature or shingle payloads — through a single groupBy whose
+    *     buckets emit their candidate edges in-row (no self-join);
     *  3. payloads re-join onto the (small) deduped candidate set afterwards
     *     (AQE broadcasts the feature side when it fits).
     * Returns pairs (a < b) with estimated (signature-agreement) and exact
@@ -344,15 +345,15 @@ object Dedup {
     // lives in the drop* wrappers (left-anti keeps non-candidates).
     // `pre` feeds the banding scan AND both verify-join branches — three
     // consumers, so the fused sketch runs three full-corpus sweeps.
-    // `cacheSketch` trades those re-evaluations for a MEMORY_AND_DISK
-    // materialization of the (sig, shingles) arrays. Default OFF, measured
-    // and reasoned: a focused interleaved A/B at sf0.1 (MinhashAB, warm
-    // JVM, min-of-3) read PARITY — 1.157 s uncached vs 1.151 s cached —
-    // i.e. writing + reading ~4 KB of long-arrays per doc through the
-    // columnar cache costs about what the two saved sketch sweeps cost;
-    // and at the 10^12-doc design point the cache side collapses (petabytes
-    // of MEMORY_AND_DISK spill vs pure CPU on rows already flowing), so
-    // re-evaluation is the scale-safe default. Turn it on only for small,
+    // `cacheSketch` trades the verify-branch re-evaluations for a
+    // MEMORY_AND_DISK materialization of the (sig, shingles) arrays.
+    // Default OFF, measured: with the one-sweep banding aggregation the
+    // focused interleaved A/B at sf0.1 (MinhashAB, warm JVM, min-of-3)
+    // reads 0.693 s uncached vs 0.855 s cached — writing + reading ~4 KB
+    // of long-arrays per doc through the columnar cache costs MORE than
+    // the two sketch sweeps it saves; and at the 10^12-doc design point
+    // the cache side collapses entirely (petabytes of MEMORY_AND_DISK
+    // spill vs pure CPU on rows already flowing). Available for small,
     // memory-resident corpora iterated repeatedly.
     val preRaw = documents
       .select(col("doc_id"), MinHashWithShinglesExpr(col("text"), numHashes, ngram).as("f"))
@@ -369,23 +370,31 @@ object Dedup {
         element_at(col("sig"), b * rowsPerBand + j + 1))): _*)
     }
     val banded = sigs.select(col("doc_id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
-    // whole-bucket stats (size, min-id hub) ride ONE window over the band
-    // key — the same hash exchange the self-join needs, so no extra
-    // shuffle; rows are (hash, id) pairs only
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))
-    val stats = banded
-      .withColumn("bsz", count(lit(1)).over(bw))
-      .withColumn("hub", min(col("doc_id")).over(bw))
-    val small = stats.where(col("bsz") <= maxBandBucket)
-    val cand = small.select(col("band_hash"), col("doc_id").as("a"))
-      .join(small.select(col("band_hash"), col("doc_id").as("b")), Seq("band_hash"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      // hot buckets: star edges hub→member (hub = bucket min, so a < b holds)
-      .unionByName(stats
-        .where(col("bsz") > maxBandBucket && col("doc_id") =!= col("hub"))
-        .select(col("hub").as("a"), col("doc_id").as("b")))
+      explode(array(bandHashes: _*)).as("band_hash"))
+    // ONE aggregation replaces the band self-join entirely: each bucket row
+    // carries its member ids and emits its candidate edges IN-ROW —
+    // exhaustive (least, greatest) pairs for buckets within maxBandBucket,
+    // hub (min-id) star edges past it. Structurally a single consumer of
+    // the sketch subtree, so the banding phase costs exactly ONE sketch
+    // sweep no matter what — an earlier window+self-join formulation had
+    // three consumers whose exchanges Catalyst failed to canonicalize
+    // together (column pruning differentiated the subtrees), re-evaluating
+    // the interpreted sketch 5x (caught via the executed-plan dump in
+    // PLANS.md). Bucket ROW size is O(members): fine through multi-million
+    // clusters (8 MB of longs per 10^6 members); the quadratic OUTPUT is
+    // what the cap bounds.
+    val ids = col("ids")
+    val hub = array_min(ids)
+    val allPairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+    val starEdges = transform(filter(ids, x => x =!= hub),
+      x => struct(hub.as("a"), x.as("b")))
+    val cand = banded.groupBy(col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(when(size(ids) <= maxBandBucket, allPairs)
+        .otherwise(starEdges)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // exact-Jaccard verification ONLY on the candidate set, via the
     // PRECOMPUTED per-doc arrays (two more full-corpus evals of the fused
