@@ -231,25 +231,79 @@ object Dedup {
     cur.select(col("v"), col("label"), (col("label") =!= col("old")).as("chg"))
   }
 
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Edge-count gate below which the closure is computed driver-side: a
+    * near-dup graph this small (≤ 2^20 edges ≈ 16 MB of id pairs — the same
+    * bounded-collect class as the IVF centroid matrix or the benchmark
+    * decontamination model) should not pay 5-7 rounds of cluster-wide
+    * fixpoint jobs whose cost is pure scheduling overhead. The distributed
+    * min-label loop engages above the gate; at web scale (billions of
+    * edges) it is the only path that runs. The edge COUNT is known for free:
+    * persisting the edge set is the loop's own first step. */
+  val SmallGraphEdges: Long = 1L << 20
+
+  def connectedComponents(pairs: DataFrame,
+                          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = ccEdges(pairs).persist()
-    // lazy checkpoint: truncated plan, cached on first use
-    var labels = ccSeed(edges).localCheckpoint(false)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val next = ccRound(labels, edges).localCheckpoint(false)
-      // the round's single action: materializes the checkpoint AND returns
-      // the number of vertices whose label moved this round
-      changed = next.where(col("chg")).count()
-      labels = next.select(col("v"), col("label"))
-      rounds += 1
+    val nEdges = edges.count() // also materializes the persist
+    if (nEdges <= smallGraphEdges) {
+      // driver union-find with min-label semantics — output is EXACTLY the
+      // distributed loop's (every edge vertex labeled with its component's
+      // min id), verified by the same DuckDB closure oracle
+      val rows = edges.collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      val ord: Ordering[Any] = new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = (x, y) match {
+          case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+          case (a: Int, b: Int)       => java.lang.Integer.compare(a, b)
+          case (a: String, b: String) => a.compareTo(b)
+          case _ => throw new IllegalArgumentException(s"unsupported id type: $x")
+        }
+      }
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { e =>
+        val (u, v) = (e.get(0), e.get(1))
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          // union by min: the smaller id becomes the root, so the root IS
+          // the component label
+          if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val out = parent.keys.toSeq.map(v => org.apache.spark.sql.Row(v, find(v)))
+      val idType = pairs.schema.fields.head.dataType
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out, math.max(1, out.size / 250000)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    } else {
+      // lazy checkpoint: truncated plan, cached on first use
+      var labels = ccSeed(edges).localCheckpoint(false)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val next = ccRound(labels, edges).localCheckpoint(false)
+        // the round's single action: materializes the checkpoint AND returns
+        // the number of vertices whose label moved this round
+        changed = next.where(col("chg")).count()
+        labels = next.select(col("v"), col("label"))
+        rounds += 1
+      }
+      edges.unpersist()
+      // The result rides the final round's local checkpoint: its plan is
+      // truncated (cheap to reuse) and its blocks spill to disk under memory
+      // pressure; blocks free automatically when the reference is dropped.
+      labels.select(col("v").as("doc_id"), col("label").as("component"))
     }
-    edges.unpersist()
-    // The result rides the final round's local checkpoint: its plan is
-    // truncated (cheap to reuse) and its blocks spill to disk under memory
-    // pressure; blocks free automatically when the reference is dropped.
-    labels.select(col("v").as("doc_id"), col("label").as("component"))
   }
 
   /** Production composition: component closure over MinHash-LSH candidate

@@ -67,6 +67,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Set(10L, 11L, 12L).subsetOf(kept))
   }
 
+  test("CC small-graph fast path equals the distributed min-label loop on chains, stars, and singleton edges") {
+    import spark.implicits._
+    // chain 1-2-3-4, star 10-{11,12,13}, isolated pair 20-21 — chains are
+    // the case greedy dedup gets wrong and the loop needs multiple rounds for
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (12L, 13L), (20L, 21L)).toDF("a", "b")
+    val fast = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // smallGraphEdges = 0 forces the distributed fixpoint on the same input
+    val loop = Dedup.connectedComponents(pairs, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // string ids route through the same ordering as Spark's min
+    val spairs = Seq(("b", "c"), ("a", "b")).toDF("a", "b")
+    val sfast = Dedup.connectedComponents(spairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val sloop = Dedup.connectedComponents(spairs, smallGraphEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sfast == sloop && sfast == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("hot LSH band bucket: planted near-identical cluster is capped to star edges, still fully collapsed") {
     // k near-identical docs (tiny distinct suffixes) all but guarantee
     // identical signatures → ONE band bucket per band holding the whole
