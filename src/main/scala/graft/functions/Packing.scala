@@ -101,7 +101,12 @@ object Packing {
     *
     * Plan: quality is computed ONCE into a persisted narrow (doc_id,
     * quality, bucket) projection (the expensive part is the text scan, and
-    * both the histogram and the rank pass need the scores). A ≤101-row
+    * both the histogram and the rank pass need the scores). The persist is
+    * the right side of the cache-vs-recompute trade HERE because the cached
+    * rows are ~20 bytes — two orders of magnitude narrower than the text
+    * they replace re-scanning — unlike the MinHash sketch cache
+    * (Dedup.scala `cacheSketch`), whose ~4 KB/doc arrays cost more to
+    * round-trip than recomputing; the deciding variable is row width. A ≤101-row
     * bucket histogram (`floor(quality * 100)`, order-aligned since the
     * bucket id is monotone in quality) is collected — a driver fold over a
     * hundred longs, not a driver loop over data — and drives both the keep
