@@ -105,6 +105,36 @@ object PlanAudit {
       val sweeps = "minhash_with_shingles".r.findAllIn(fin).length
       sb ++= s"## d_minhash EXECUTED adaptive plan under a planted 150-doc hot band (expect: the hot bucket emits hub star edges from the banding aggregation - candidate pairs verified = $n, linear in the cluster, vs ~11k uncapped; minhash_with_shingles eval sites in the executed plan = $sweeps - the structural bound is 3: one banding sweep + two verify branches)\n\n```\n$fin\n```\n\n"
     }
+    locally {
+      // r06 (VERDICT r05 #1): same drill for the SimHash path — 150
+      // chunk-identical docs land in ONE (band, chunk) bucket per band; the
+      // former band self-join emitted O(k²) candidates here, the capped
+      // aggregation emits hub star edges with the 8-byte sigs carried
+      // IN-ROW (no join back for the Hamming verify at all)
+      val hot = spark.range(150).selectExpr("id AS doc_id",
+        "'the quick brown fox jumps over the lazy dog and then runs far away into the deep forest' AS text")
+      val capped = graft.functions.Dedup.simHashNearDuplicates(hot, 3, maxBandBucket = 50)
+      val n = capped.collect().length
+      val fin = capped.queryExecution.executedPlan.toString
+      val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(fin).length
+      val obs = capped.queryExecution.observedMetrics.collectFirst {
+        case (k, r) if k.contains("simhash") => r.mkString("(", ", ", ")") }
+      sb ++= s"## d_simhash EXECUTED adaptive plan under a planted 150-doc hot cluster (expect: candidate pairs = $n — LINEAR (k-1 = 149 star edges), vs 11,175 uncapped member pairs; join operators in the plan = $joins — ZERO, the Hamming verify reads sigs from the bucket row itself; observed hot-band metric (n_hot_buckets, max_bucket, n_buckets) = $obs)\n\n```\n$fin\n```\n\n"
+    }
+    locally {
+      // r06 (VERDICT r05 #2): embedding-RHP path — 150 identical embeddings
+      // share every sign band; capped bucket aggregation emits star edges,
+      // then ONLY the O(k) candidate set joins back to the vectors for the
+      // cosine verify
+      val hot = spark.range(150).selectExpr("id AS vec_id",
+        "transform(sequence(1, 16), i -> cast(i AS float) / 16.0f) AS embedding")
+      val capped = graft.functions.Dedup.embeddingNearDuplicatesLsh(hot, 0.9, maxBandBucket = 50)
+      val n = capped.collect().length
+      val fin = capped.queryExecution.executedPlan.toString
+      val obs = capped.queryExecution.observedMetrics.collectFirst {
+        case (k, r) if k.contains("embed_lsh") => r.mkString("(", ", ", ")") }
+      sb ++= s"## d_embed_neardup_lsh EXECUTED adaptive plan under a planted 150-vector hot cluster (expect: verified pairs = $n — LINEAR (149 hub star edges, every cosine 1.0), vs 11,175 uncapped; the banding aggregation ships (band, id) only and the two feature joins touch just the capped candidate set; observed hot-band metric = $obs)\n\n```\n$fin\n```\n\n"
+    }
     sb ++= explainOf("s_ann_top1 (broadcast queries; window top-k)",
       graft.functions.Similarity.bruteForceTopK(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),
@@ -168,8 +198,16 @@ object PlanAudit {
         val reused = "ReusedExchange".r.findAllIn(fin).length
         sb ++= s"## t_pack EXECUTED adaptive plan (expect: the bucket-totals branch rides a ReusedExchange of the fine window's shuffle — the corpus parquet is scanned and shuffled ONCE; any FileScan text under the ReusedExchange is the reused reference's printout, not a second execution; ReusedExchange count = $reused)\n\n```\n$fin\n```\n\n"
       }
-      sb ++= explainOf("t_quality_top SPREAD route (r05 histogram routing — expect: bucket-partitioned row_number window + BroadcastHashJoin against the ≤101-row LITERAL offsets table (LocalTableScan; the histogram collect replaced the coarse-window branch); no global-order Exchange of the corpus)",
-        graft.functions.Packing.qualityTopFraction(d, 0.8))
+      locally {
+        // r06: the public qualityTopFraction eagerly checkpoints + unpersists
+        // (ADVICE r05 cache-leak fix), which truncates its visible plan to a
+        // LogicalRDD scan — audit the real route via the plan variant, and
+        // clean up its persist exactly as the wrapper would
+        val (qp, plan) = graft.functions.Packing.qualityTopFractionPlan(d, 0.8)
+        sb ++= explainOf("t_quality_top SPREAD route (r05 histogram routing — expect: bucket-partitioned row_number window + BroadcastHashJoin against the ≤101-row LITERAL offsets table (LocalTableScan; the histogram collect replaced the coarse-window branch); no global-order Exchange of the corpus. r06: dumped via qualityTopFractionPlan — the shipped wrapper adds an eager localCheckpoint + unpersist around EXACTLY this plan)",
+          plan)
+        qp.unpersist(false)
+      }
       locally {
         // r05 pathological fallback (VERDICT r04 #7): constant-quality corpus
         // → one bucket holds everything → the router must pick the
@@ -177,8 +215,10 @@ object PlanAudit {
         // keys, so the doc_id tie-break splits the single quality value)
         val const = spark.range(400).selectExpr("id AS doc_id",
           "'identical boilerplate line for every document here' AS text")
+        val (qp, plan) = graft.functions.Packing.qualityTopFractionPlan(const, 0.8)
         sb ++= explainOf("t_quality_top CONCENTRATED route (expect: Exchange rangepartitioning(quality DESC, doc_id) — the corpus splits on the tie-break; window partitioned by pid; coarse prefix over ≤ shuffle-partitions rows; NO single-partition corpus window)",
-          graft.functions.Packing.qualityTopFraction(const, 0.8))
+          plan)
+        qp.unpersist(false)
       }
       locally {
         val nll = graft.functions.TextAnalysis.unigramLogProb(d)

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: signatures are per-row HOFs (no shuffle); the band/bucket
   *    self-join shuffles on the band hash — candidate pairs only, never the
   *    full cross product. AQE skew-join splits hot buckets (empty-ish docs).
-  *  - SimHash: per-row 64-bit signature, then a band join on 16-bit chunks.
+  *  - SimHash: per-row 64-bit signature, then a capped band-bucket
+  *    aggregation on 16-bit chunks with in-row Hamming verification.
   *  - n-gram Jaccard: exact verification on LSH candidates only.
   */
 object Dedup {
@@ -241,26 +242,45 @@ object Dedup {
     * persisting the edge set is the loop's own first step. */
   val SmallGraphEdges: Long = 1L << 20
 
+  /** Driver-side min-label Ordering for the union-find fast path — defined
+    * ONLY for id types where it provably matches Spark's own min/least
+    * comparison (the fast path's exact-parity contract): integral types are
+    * trivial; strings MUST compare as unsigned UTF-8 bytes, because Spark's
+    * UTF8String orders binary — Java's String.compareTo is UTF-16 code-unit
+    * order, which disagrees for supplementary code points (surrogates
+    * D800–DFFF sort below U+E000.. in UTF-16 but encode as F0.. > EF.. in
+    * UTF-8). Any other id type (binary, decimal, date, timestamp, ...)
+    * returns None and [[connectedComponents]] routes to the distributed
+    * loop, which handles every orderable type natively (ADVICE r05: the
+    * fast path must never NARROW the function's type contract). */
+  private def driverMinOrdering(idType: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    idType match {
+      case LongType    => Some(Ordering.by[Any, Long](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by[Any, Int](_.asInstanceOf[Int]))
+      case StringType  => Some(new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = java.util.Arrays.compareUnsigned(
+          x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      case _ => None
+    }
+  }
+
   def connectedComponents(pairs: DataFrame,
                           smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val spark = pairs.sparkSession
+    val driverOrd = driverMinOrdering(pairs.schema.fields.head.dataType)
     val edges = ccEdges(pairs).persist()
     val nEdges = edges.count() // also materializes the persist
-    if (nEdges <= smallGraphEdges) {
+    if (nEdges <= smallGraphEdges && driverOrd.isDefined) {
       // driver union-find with min-label semantics — output is EXACTLY the
       // distributed loop's (every edge vertex labeled with its component's
       // min id), verified by the same DuckDB closure oracle
       val rows = edges.collect()
       edges.unpersist()
       val parent = scala.collection.mutable.HashMap[Any, Any]()
-      val ord: Ordering[Any] = new Ordering[Any] {
-        def compare(x: Any, y: Any): Int = (x, y) match {
-          case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
-          case (a: Int, b: Int)       => java.lang.Integer.compare(a, b)
-          case (a: String, b: String) => a.compareTo(b)
-          case _ => throw new IllegalArgumentException(s"unsupported id type: $x")
-        }
-      }
+      val ord = driverOrd.get
       def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -375,6 +395,39 @@ object Dedup {
     * member, so the loss is second-order (spec-tested with a planted hot
     * cluster). Small buckets are exhaustive exactly as before.
     */
+  /** In-row candidate-edge synthesis for one band bucket (`ids` = the
+    * bucket's member id array): exhaustive (least, greatest) pairs for
+    * buckets within `cap`, min-id-hub star edges past it — the hot-band
+    * guard shared by every LSH band aggregation (MinHash, SimHash,
+    * embedding-RHP). See [[minHashNearDuplicates]] for the full scale
+    * rationale and the documented recall trade. */
+  private def bucketEdges(ids: Column, cap: Int): Column = {
+    val hub = array_min(ids)
+    val allPairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+    val starEdges = transform(filter(ids, x => x =!= hub),
+      x => struct(hub.as("a"), x.as("b")))
+    when(size(ids) <= cap, allPairs).otherwise(starEdges)
+  }
+
+  /** Hot-bucket observability (ADVICE r05: "quantify how often the recall
+    * trade is actually exercised"): wraps a band-bucket aggregation in a
+    * named `observe` metric — zero execution cost (the aggregates ride the
+    * rows already flowing) — reporting how many buckets exceeded the cap
+    * (→ star-edge synthesis), the largest bucket seen, and the bucket
+    * count. Production reads it via a QueryExecutionListener; tests and
+    * notebooks via `df.queryExecution.observedMetrics` after any action.
+    * Names carry a sequence suffix so two capped ops composed into ONE
+    * query (e.g. a MinHash and a SimHash pass unioned) cannot collide. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def observeHotBuckets(buckets: DataFrame, op: String,
+                                bucketSize: Column, cap: Int): DataFrame =
+    buckets.observe(s"graft.$op.bands.${obsSeq.incrementAndGet()}",
+      sum(when(bucketSize > cap, 1L).otherwise(0L)).as("n_hot_buckets"),
+      max(bucketSize).as("max_bucket"),
+      count(lit(1)).as("n_buckets"))
+
   def minHashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             numHashes: Int = 32, numBands: Int = 8,
                             ngram: Int = 3, maxBandBucket: Int = 1024,
@@ -408,7 +461,12 @@ object Dedup {
     // the two sketch sweeps it saves; and at the 10^12-doc design point
     // the cache side collapses entirely (petabytes of MEMORY_AND_DISK
     // spill vs pure CPU on rows already flowing). Available for small,
-    // memory-resident corpora iterated repeatedly.
+    // memory-resident corpora iterated repeatedly. OWNERSHIP (ADVICE r05):
+    // the returned DataFrame is lazy, so this function CANNOT unpersist —
+    // the CALLER who opts in owns cleanup, via
+    // spark.sharedState.cacheManager.clearCache() or an unpersist after the
+    // consuming action (graft.MinhashAB does exactly this); left cached it
+    // holds ~4 KB/doc of arrays for the session.
     val preRaw = documents
       .select(col("doc_id"), MinHashWithShinglesExpr(col("text"), numHashes, ngram).as("f"))
       .where(col("f").isNotNull)
@@ -438,16 +496,10 @@ object Dedup {
     // clusters (8 MB of longs per 10^6 members); the quadratic OUTPUT is
     // what the cap bounds.
     val ids = col("ids")
-    val hub = array_min(ids)
-    val allPairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
-        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
-    val starEdges = transform(filter(ids, x => x =!= hub),
-      x => struct(hub.as("a"), x.as("b")))
-    val cand = banded.groupBy(col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(when(size(ids) <= maxBandBucket, allPairs)
-        .otherwise(starEdges)).as("p"))
+    val cand = observeHotBuckets(
+      banded.groupBy(col("band_hash")).agg(collect_list(col("doc_id")).as("ids")),
+      "minhash", size(ids), maxBandBucket)
+      .select(explode(bucketEdges(ids, maxBandBucket)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // exact-Jaccard verification ONLY on the candidate set, via the
@@ -649,14 +701,45 @@ object Dedup {
 
   /** SimHash near-dups: band the 64-bit signature into `maxHamming + 1`
     * chunks — the pigeonhole bound: ≤ maxHamming differing bits cannot touch
-    * every chunk, so a true near-dup pair always shares one verbatim — join
+    * every chunk, so a true near-dup pair always shares one verbatim — group
     * on chunks, verify the exact hamming distance. (The chunk count was
     * previously hardcoded to 4, silently losing recall for any radius > 3.)
     * Default radius 3 keeps the classic 4×16-bit layout. Wider radii mean
-    * narrower chunks and hotter buckets — the usual LSH recall/cost dial. */
-  def simHashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * narrower chunks and hotter buckets — the usual LSH recall/cost dial.
+    *
+    * `maxBandBucket` — the same hot-band guard as [[minHashNearDuplicates]],
+    * and MORE load-bearing here (VERDICT r05 #1): a 16-bit chunk is far
+    * coarser than a MinHash band hash, so a near-identical cluster of k
+    * documents (the viral-boilerplate case) shares EVERY chunk verbatim and
+    * the former band self-join emitted O(k²) candidates per band — this was
+    * the first path to hit the quadratic wall at scale. The banding is now
+    * ONE aggregation per (band, chunk) bucket whose row carries
+    * (doc_id, sig) members — the signature is 8 bytes, so the Hamming
+    * verify happens IN-ROW on the synthesized pairs with no join back:
+    * exhaustive pairs within `maxBandBucket`, min-id-hub star edges past
+    * it. Same documented recall trade as MinHash: a hot bucket's member
+    * pairs are reported transitively through the hub, so a member pair
+    * within `maxHamming` whose hub distances both exceed it is missed —
+    * second-order for a bucket of chunk-identical docs (the hub shares the
+    * chunk with every member; planted-cluster spec). Buckets report
+    * cap-exceedance via [[observeHotBuckets]].
+    *
+    * Null-text docs have a null signature and are EXCLUDED before banding
+    * (unchanged semantics: the former join's non-null-safe equality already
+    * never paired them, but a groupBy treats null chunks as a REAL group,
+    * which would clique k null docs together).
+    *
+    * The STREAMING path has no analog of this shape to cap (VERDICT r05
+    * #5): on-arrival dedup ([[graft.streaming.StreamingExtract.dedupWithinHorizon]])
+    * is EXACT keyed state — one state-store entry per content fingerprint,
+    * evicted at the watermark horizon, at most one survivor emitted per key
+    * — so no bucket of members is ever materialized and nothing quadratic
+    * can form. */
+  def simHashNearDuplicates(documents: DataFrame, maxHamming: Int = 3,
+                            maxBandBucket: Int = 1024): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    require(maxBandBucket >= 2, s"maxBandBucket must be >= 2, got $maxBandBucket")
     val numChunks = maxHamming + 1
     val starts = (0 to numChunks).map(i => i * 64 / numChunks)
     val chunks = (0 until numChunks).map { i =>
@@ -665,11 +748,29 @@ object Dedup {
       shiftright(col("sig"), starts(i)).bitwiseAND(lit(mask))
     }
     val sigs = documents.select(col("doc_id"), simHash(col("text")).as("sig"))
+      .where(col("sig").isNotNull)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("band_idx", "chunk")))
-    val a = banded.select(col("band_idx"), col("chunk"), col("doc_id").as("a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("chunk"), col("doc_id").as("b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "chunk")).where(col("a") < col("b"))
+    // members sorted by doc_id (struct sort: doc_id is the leading field,
+    // unique within a bucket), so pairs come out (a < b)-ordered and
+    // element 1 IS the min-id hub
+    val ms = col("ms")
+    val hub = element_at(ms, 1)
+    val allPairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms) - i - lit(1)), y =>
+        struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+          x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))
+    val starEdges = transform(slice(ms, lit(2), size(ms) - 1), y =>
+      struct(hub.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+        hub.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))
+    observeHotBuckets(
+      banded.groupBy(col("band_idx"), col("chunk"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms")),
+      "simhash", size(ms), maxBandBucket)
+      .select(explode(when(size(ms) <= maxBandBucket, allPairs)
+        .otherwise(starEdges)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
       .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
@@ -681,8 +782,9 @@ object Dedup {
     * pair REPORT and a survivors DROP): near-identical documents by Hamming
     * distance collapse to their min-id representative. Same CC machinery,
     * same keep-min semantics as [[dropNearDuplicatesCCLsh]]. */
-  def dropNearDuplicatesSimHash(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    dropByComponents(documents, simHashNearDuplicates(documents, maxHamming))
+  def dropNearDuplicatesSimHash(documents: DataFrame, maxHamming: Int = 3,
+                                maxBandBucket: Int = 1024): DataFrame =
+    dropByComponents(documents, simHashNearDuplicates(documents, maxHamming, maxBandBucket))
 
   // -------------------------------------------------- embedding near-dup
 
@@ -690,20 +792,37 @@ object Dedup {
     * must share at least one random-hyperplane signature band to be scored —
     * a bucket self-join instead of the cross product. High-cosine pairs have
     * near-identical sign patterns, so recall at near-dup thresholds is high
-    * (verified against [[embeddingNearDuplicates]] in tests). */
+    * (verified against [[embeddingNearDuplicates]] in tests).
+    *
+    * `maxBandBucket` (VERDICT r05 #2) — the same hot-band guard as
+    * [[minHashNearDuplicates]]: a cluster of k near-identical embeddings
+    * (re-encoded copies of one viral page) shares every sign pattern, so the
+    * former band self-join emitted O(k²) candidates per band. Buckets over
+    * the cap emit min-id-hub star edges instead — O(k), cluster stays
+    * connected for a downstream CC drop. Recall trade mirrors the MinHash
+    * note: hot-bucket member pairs are reported only transitively through
+    * the hub, and in a bucket of sign-identical embeddings the hub's cosine
+    * to every member is as high as any member pair's — second-order loss,
+    * planted-cluster spec. Cap exceedance is observable via the
+    * `graft.embed_lsh.bands.*` metric ([[observeHotBuckets]]). */
   def embeddingNearDuplicatesLsh(embeddings: DataFrame, threshold: Double = 0.95,
-                                 bits: Int = 32, numBands: Int = 8): DataFrame = {
+                                 bits: Int = 32, numBands: Int = 8,
+                                 maxBandBucket: Int = 1024): DataFrame = {
+    require(maxBandBucket >= 2, s"maxBandBucket must be >= 2, got $maxBandBucket")
     // per-row one-pass packed signature ([[RhpSigExpr]]) banded into
-    // bits/numBands-bit chunks; the band join ships (band, id) only
+    // bits/numBands-bit chunks; the band aggregation ships (band, id) only
     val banded = embeddings
       .select(col("vec_id"), graft.functions.RhpSigExpr(col("embedding"), bits).as("sig"))
       .select(col("vec_id"),
         posexplode(Similarity.rhpBandKeys(col("sig"), bits, numBands)).as(Seq("band_idx", "band_key")))
-    val cand = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
-      .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
-        Seq("band_idx", "band_key"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val ids = col("ids")
+    val cand = observeHotBuckets(
+      banded.groupBy(col("band_idx"), col("band_key"))
+        .agg(collect_list(col("vec_id")).as("ids")),
+      "embed_lsh", size(ids), maxBandBucket)
+      .select(explode(bucketEdges(ids, maxBandBucket)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
     // norms computed ONCE per row here, never per candidate pair
     val feats = embeddings.select(col("vec_id"), col("embedding"),
       graft.functions.L2NormExpr(col("embedding")).as("norm"))

@@ -127,6 +127,26 @@ object Packing {
     *    rows (the same benign coarse-window pattern as [[packSequences]]).
     */
   def qualityTopFraction(documents: DataFrame, keepFrac: Double): DataFrame = {
+    val (q, out) = qualityTopFractionPlan(documents, keepFrac)
+    // Cache lifetime (ADVICE r05): the kept set is materialized EAGERLY —
+    // narrow (doc_id, quality) rows into local-checkpoint blocks, freed by
+    // the ContextCleaner when the returned frame is dropped — so the
+    // corpus-sized quality cache can be unpersisted HERE instead of leaking
+    // for the session (every path, empty included). Same
+    // materialize-inside / clean-up-before-return convention as
+    // [[Dedup.connectedComponents]]; PlanAudit dumps the pre-checkpoint
+    // plan via [[qualityTopFractionPlan]].
+    val res = out.localCheckpoint(true)
+    q.unpersist(false)
+    res
+  }
+
+  /** The lazy plan behind [[qualityTopFraction]]: returns (the persisted
+    * quality projection — caller MUST unpersist it, the kept-set plan that
+    * reads it). Package-private so the plan audit can explain the real
+    * route shapes without the checkpoint truncating them. */
+  private[graft] def qualityTopFractionPlan(documents: DataFrame,
+                                            keepFrac: Double): (DataFrame, DataFrame) = {
     require(keepFrac >= 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in [0, 1], got $keepFrac")
     val spark = documents.sparkSession
@@ -142,7 +162,7 @@ object Packing {
     val hist = q.groupBy(col("bucket")).agg(count(lit(1)).as("bcnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
     val total = hist.map(_._2).sum
-    if (total == 0) return q.where(lit(false)).select(col("doc_id"), col("quality"))
+    if (total == 0) return (q, q.where(lit(false)).select(col("doc_id"), col("quality")))
     val k = math.floor(total * keepFrac).toLong
     val maxShare = hist.map(_._2).max.toDouble / total
     if (maxShare <= 0.5) {
@@ -156,10 +176,10 @@ object Packing {
       val offDf = broadcast(offsets.toSeq.toDF("bucket", "boff"))
       val inBucket = Window.partitionBy(col("bucket"))
         .orderBy(col("quality").desc, col("doc_id"))
-      q.withColumn("rn", row_number().over(inBucket).cast("long"))
+      (q, q.withColumn("rn", row_number().over(inBucket).cast("long"))
         .join(offDf, Seq("bucket"))
         .where(col("boff") + col("rn") <= k)
-        .select(col("doc_id"), col("quality"))
+        .select(col("doc_id"), col("quality")))
     } else {
       // concentrated: exact rank over a range-partitioned sort (see scaladoc)
       val ranged = q.repartitionByRange(col("quality").desc, col("doc_id"))
@@ -172,9 +192,9 @@ object Packing {
       val offsets = pidCounts
         .withColumn("poff", coalesce(sum(col("pcnt")).over(coarse), lit(0L)))
         .select(col("pid"), col("poff"))
-      local.join(broadcast(offsets), Seq("pid"))
+      (q, local.join(broadcast(offsets), Seq("pid"))
         .where(col("poff") + col("rn") <= k)
-        .select(col("doc_id"), col("quality"))
+        .select(col("doc_id"), col("quality")))
     }
   }
 }

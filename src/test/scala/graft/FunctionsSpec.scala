@@ -90,6 +90,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sfast == sloop && sfast == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
+  test("CC fast path: UTF-8 byte order for strings; unsupported id types fall back to the loop") {
+    import spark.implicits._
+    // U+E000 encodes EE 80 80; U+1F600 encodes F0 9F 98 80 — UTF-8 (and
+    // Spark's UTF8String min) orders U+E000 FIRST, while Java's UTF-16
+    // compareTo orders the surrogate pair first. The fast path must agree
+    // with the distributed loop's Spark-side min (ADVICE r05).
+    val pua = ""
+    val emoji = "😀"
+    assert(pua.compareTo(emoji) > 0) // UTF-16 disagrees — the trap is real
+    val spairs = Seq((pua, emoji)).toDF("a", "b")
+    val fast = Dedup.connectedComponents(spairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val loop = Dedup.connectedComponents(spairs, smallGraphEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fast == loop && fast == Map(pua -> pua, emoji -> pua))
+    // binary ids have no driver ordering → the small-graph gate must route
+    // to the distributed loop (which handles any orderable type), not throw
+    val bpairs = Seq((Array[Byte](2, 1), Array[Byte](1, 9)), (Array[Byte](1, 9), Array[Byte](3)))
+      .toDF("a", "b")
+    val bres = Dedup.connectedComponents(bpairs).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(bres == Map(
+      Seq[Byte](2, 1) -> Seq[Byte](1, 9),
+      Seq[Byte](1, 9) -> Seq[Byte](1, 9),
+      Seq[Byte](3)    -> Seq[Byte](1, 9)))
+  }
+
   test("hot LSH band bucket: planted near-identical cluster is capped to star edges, still fully collapsed") {
     // k near-identical docs (tiny distinct suffixes) all but guarantee
     // identical signatures → ONE band bucket per band holding the whole
@@ -138,6 +165,68 @@ class FunctionsSpec extends AnyFunSuite {
     val kept = Dedup.dropNearDuplicatesSimHash(df, maxHamming = 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash hot band bucket: planted chunk-identical cluster is capped to star edges, same drop survivors") {
+    import org.apache.spark.sql.Row
+    // k docs with IDENTICAL text → identical 64-bit signatures → every
+    // 16-bit chunk equal → ONE bucket per band holding the whole cluster:
+    // the former band self-join emitted k(k-1)/2 candidates per band here
+    val k = 120
+    val cluster = (0L until k.toLong).map(i => i -> base)
+    val others = Seq(900L -> "completely unrelated text about catalyst optimizer rules and shuffles",
+      901L -> "another unrelated document mentioning parquet row groups and bloom filters")
+    // null-text docs must be excluded BEFORE the bucket aggregation: a
+    // groupBy treats a null chunk as a REAL group, so k null docs would
+    // otherwise clique together (the join's non-null-safe equality never did)
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val withNulls = spark.createDataFrame(java.util.Arrays.asList(
+      (cluster ++ others).map { case (i, t) => Row(i, t) } :+ Row(950L, null) :+ Row(951L, null): _*), schema)
+    val capped = Dedup.simHashNearDuplicates(withNulls, maxHamming = 3, maxBandBucket = 50)
+    val cappedPairs = capped.collect()
+    // star edges: one hub (doc 0) per hot bucket, every bucket yields the
+    // same 119 hub edges → LINEAR volume after the distinct
+    assert(cappedPairs.length == k - 1,
+      s"cap must bound the hot bucket to k-1 star edges, got ${cappedPairs.length}")
+    assert(cappedPairs.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+    assert(!cappedPairs.exists(r => r.getLong(1) >= 950L), "null docs must not pair")
+    // survivors are IDENTICAL to the uncapped exhaustive path
+    val kept = Dedup.dropNearDuplicatesSimHash(withNulls, maxHamming = 3, maxBandBucket = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptU = Dedup.dropNearDuplicatesSimHash(withNulls, maxHamming = 3, maxBandBucket = 100000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptU && kept == Set(0L, 900L, 901L, 950L, 951L))
+    // the uncapped form really is quadratic on this input
+    val uncapped = Dedup.simHashNearDuplicates(withNulls, maxHamming = 3, maxBandBucket = 100000)
+    assert(uncapped.count() == k.toLong * (k - 1) / 2)
+    // hot-band observability: 4 bands × 1 hot bucket each over the cap
+    val obs = capped.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.contains("simhash") => row }.get
+    assert(obs.getLong(0) == 4L && obs.getInt(1) == k)
+  }
+
+  test("embedding LSH hot bucket: planted identical-vector cluster is capped to star edges, all verified") {
+    val r = new java.util.Random(7)
+    val k = 120
+    // k identical embeddings (re-encoded copies of one page) + unrelated noise
+    val one = Seq.fill(16)(r.nextFloat() * 2 - 1)
+    val cluster = (0L until k.toLong).map(i => i -> one)
+    val noise = (900L until 905L).map(i => i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
+    val df = embDf((cluster ++ noise): _*)
+    val capped = Dedup.embeddingNearDuplicatesLsh(df, 0.95, maxBandBucket = 50)
+    val cappedPairs = capped.collect()
+    // every band bucket holds the whole cluster → star edges from hub 0;
+    // cosine of identical vectors is 1.0 so all k-1 verify
+    assert(cappedPairs.length == k - 1,
+      s"cap must bound the hot bucket to k-1 star edges, got ${cappedPairs.length}")
+    assert(cappedPairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) > 0.999))
+    val uncapped = Dedup.embeddingNearDuplicatesLsh(df, 0.95, maxBandBucket = 100000)
+    assert(uncapped.count() == k.toLong * (k - 1) / 2)
+    val obs = capped.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.contains("embed_lsh") => row }.get
+    // a noise vector can collide into a cluster bucket (4-bit band keys),
+    // so max_bucket is AT LEAST the cluster size
+    assert(obs.getLong(0) >= 1L && obs.getInt(1) >= k)
   }
 
   test("ngram jaccard pairs agree with direct computation") {

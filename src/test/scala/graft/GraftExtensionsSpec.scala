@@ -63,4 +63,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("integer literal"))
   }
+
+  test("DESCRIBE FUNCTION shows the usage signature (r05 advice: usage was dropped)") {
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED graft_extract_spans")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("graft_extract_spans(spans, meta)"),
+      s"usage text missing from DESCRIBE output:\n$desc")
+    assert(desc.contains("strips boilerplate"))
+    val descSig = spark.sql("DESCRIBE FUNCTION graft_minhash_sig")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(descSig.contains("graft_minhash_sig(shingle_hashes, num_hashes)"))
+  }
 }
