@@ -46,7 +46,7 @@ object PlanAudit {
 
     val exprRate = n / exprSec / 8
     val summary =
-      f"""# PLANS — plan audit & hot-path profile (round 5)
+      f"""# PLANS — plan audit & hot-path profile (round 6)
          |
          |## Hot path: encoder overhead
          |
@@ -127,7 +127,7 @@ object PlanAudit {
       // then ONLY the O(k) candidate set joins back to the vectors for the
       // cosine verify
       val hot = spark.range(150).selectExpr("id AS vec_id",
-        "transform(sequence(1, 16), i -> cast(i AS float) / 16.0f) AS embedding")
+        "transform(sequence(1, 16), i -> cast(i / 16.0 AS float)) AS embedding")
       val capped = graft.functions.Dedup.embeddingNearDuplicatesLsh(hot, 0.9, maxBandBucket = 50)
       val n = capped.collect().length
       val fin = capped.queryExecution.executedPlan.toString
