@@ -37,6 +37,9 @@ import org.apache.spark.sql.SparkSession
   *   [--drop-lines]                     // pipeline: line-level boilerplate
   *                                      // removal BEFORE near-dedup
   *   [--line-max-df 3]                  // pipeline: line doc-freq cap
+  *   [--domain-cap N]                   // pipeline: mega-domain balancing —
+  *                                      // keep at most N docs per doc-id
+  *                                      // family (provenance domain)
   *   [--redact]                         // pipeline: PII scrub after quality
   *   [--sample en=0.5,und=0.9]          // pipeline: per-language keep
   *                                      // fractions (stratified rebalance)
@@ -109,7 +112,7 @@ object Main {
       val dirs =
         if (opts.contains("pipeline"))
           Seq("extract", "s1_exact", "s1b_lines", "s2_neardup", "s3_decontam",
-            "s3g_gopher", "s4_quality", "s4r_redact", "s4s_sample", "s5_pack",
+            "s3g_gopher", "s4_quality", "s4d_domain", "s4r_redact", "s4s_sample", "s5_pack",
             "_pipeline")
         else Seq("_lineage", "docs", "quarantine")
       dirs.foreach(d =>
@@ -129,6 +132,7 @@ object Main {
         dropLines = opts.contains("drop-lines"),
         lineMaxDocFreq = opts.getOrElse("line-max-df", "3").toInt,
         redact = opts.contains("redact"),
+        domainCap = opts.get("domain-cap").map(_.toLong),
         sampleFractions = opts.get("sample").map(_.split(",").iterator.map { kv =>
           val Array(k, v) = kv.split("=", 2)
           k.trim -> v.trim.toDouble

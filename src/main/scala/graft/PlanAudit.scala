@@ -221,6 +221,24 @@ object PlanAudit {
         qp.unpersist(false)
       }
       locally {
+        // r06: domain frequency cap — a 150-doc viral domain plus small
+        // domains; the EXECUTED plan must show the under-cap bulk passing
+        // through a BroadcastHashJoin LEFT ANTI (never shuffled) and the
+        // over-cap docs ranked across an Exchange rangepartitioning(k_dom,
+        // k_pri, k_key) — the viral domain SPANS range partitions instead
+        // of landing in one hot window partition
+        val skew = spark.range(150).selectExpr("concat('v', id) AS doc_id",
+          "'viral.example' AS dom")
+          .unionAll(spark.range(6).selectExpr("concat('s', id) AS doc_id",
+            "concat('small', id % 3, '.example') AS dom"))
+        val capped = graft.functions.Domains.domainFrequencyCap(skew, "dom", 10)
+        val n = capped.count()
+        val fin = capped.queryExecution.executedPlan.toString
+        val ranges = "rangepartitioning\\(k_dom".r.findAllIn(fin).length
+        val ckpts = "Scan ExistingRDD".r.findAllIn(fin).length
+        sb ++= s"## t_domain_cap EXECUTED adaptive plan on a planted viral domain (expect: kept = $n — 10 of the viral 150 by salted-hash priority + all 6 small-domain docs; the FINAL plan is just anti-join bulk + semi-join against the checkpointed kept keys: checkpoint scans = $ckpts (hot set ×2 + kept keys), rangepartitioning exchanges HERE = $ranges — the exact per-domain rank (range partition + per-(pid,domain) window + coarse offsets, no per-domain mega-partition) ran ONCE in the eager kept-key job over the persisted narrow projection, instead of re-executing under every consumer)\n\n```\n$fin\n```\n\n"
+      }
+      locally {
         val nll = graft.functions.TextAnalysis.unigramLogProb(d)
         nll.collect()
         val fin = nll.queryExecution.executedPlan.toString

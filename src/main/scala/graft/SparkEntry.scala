@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Extract, Lineage}
-import graft.functions.{Dedup, Packing, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Domains, Packing, Similarity, TextAnalysis}
 import graft.model.RawDoc
 import graft.multimodal.Multimodal
 import graft.queries.{Mutators, SpanQueries}
@@ -501,6 +501,13 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
         round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"),
         countDistinct(col("lang")).as("n_langs"))),
+    // mega-domain frequency cap (C4-style): at most N docs per source,
+    // chosen by the deterministic md5-hash priority — under-cap domains
+    // pass through a broadcast anti-join untouched, over-cap domains rank
+    // across range partitions (no per-domain mega-partition)
+    "t_domain_cap" -> ((s, dir) =>
+      Domains.domainFrequencyCap(documents(s, dir), "source", 10)
+        .select(col("doc_id"), col("source"))),
     // planted-PII redaction: the corpus is synthetic word-salad (no PII), so
     // the redaction semantics are oracled over a fixed VALUES table that both
     // engines evaluate from scratch
@@ -989,6 +996,11 @@ object SparkEntry {
          |  round(avg(q.quality), 4) AS mean_quality,
          |  count(DISTINCT s0.lang) AS n_langs
          |FROM s0 JOIN q ON s0.doc_id = q.doc_id GROUP BY 1""".stripMargin,
+    "t_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':domain-cap'), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
     "t_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{Dedup, Packing}
+import graft.functions.{Dedup, Domains, Packing}
 import graft.queries.SpanQueries
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -38,6 +38,11 @@ final case class StageLineage(
   *                                               skipped when no --benchmark)
   *   ─▶ s3g_gopher   gopherRules keep-gate       (optional, --gopher)
   *   ─▶ s4_quality   qualityTopFraction         (exact distributed rank)
+  *   ─▶ s4d_domain   domainFrequencyCap         (optional, --domain-cap N:
+  *                                               mega-domain balancing —
+  *                                               at most N docs per
+  *                                               provenance domain, stable
+  *                                               hash-priority selection)
   *   ─▶ s4r_redact   redactPii                  (optional, --redact: scrub
   *                                               AFTER quality — the score
   *                                               must see the original text,
@@ -86,6 +91,9 @@ object Pipeline {
       dropLines: Boolean = false,
       lineMaxDocFreq: Int = 3,
       redact: Boolean = false,
+      // mega-domain frequency cap (None = stage off): at most N docs per
+      // provenance domain enter the training mix
+      domainCap: Option[Long] = None,
       // per-language keep fractions (cap the dominant stratum, keep the
       // tail whole); the stage runs iff a fraction map is given or the
       // default is < 1.0
@@ -257,6 +265,23 @@ object Pipeline {
     }
     current = s"${cfg.outPath}/s4_quality"
     checkpoint("s4_quality")
+
+    cfg.domainCap.foreach { cap =>
+      // mega-domain balancing AFTER quality: cap what actually enters the
+      // training mix, not docs the quality gate was about to drop anyway.
+      // Domain is provenance, not content — here the corpus's doc-id family
+      // prefix (a crawl pipeline reads its crawl-metadata host column the
+      // same way); under-cap domains never shuffle (broadcast anti-join),
+      // over-cap domains rank across range partitions.
+      rows += runStage(spark, cfg, "s4d_domain", Seq(current), s"cap=$cap") { in =>
+        Domains.domainFrequencyCap(
+          in.withColumn("graft_domain",
+            regexp_extract(col("doc_id"), "^doc-([a-z]+)-", 1)),
+          "graft_domain", cap).drop("graft_domain")
+      }
+      current = s"${cfg.outPath}/s4d_domain"
+      checkpoint("s4d_domain")
+    }
 
     if (cfg.redact) {
       // AFTER quality: the score must see the original text (redaction tags

@@ -229,6 +229,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(obs.getLong(0) >= 1L && obs.getInt(1) >= k)
   }
 
+  test("domain frequency cap: viral domain capped by hash priority, small domains untouched, nulls pass") {
+    import graft.functions.Domains
+    import org.apache.spark.sql.Row
+    // viral domain with 300 docs, two small domains, one null-domain doc
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dom", StringType), StructField("text", StringType)))
+    val rows = (0L until 300L).map(i => Row(i, "viral.example", s"doc $i")) ++
+      Seq(Row(900L, "tiny.example", "t1"), Row(901L, "tiny.example", "t2"),
+        Row(902L, "mid.example", "m1"), Row(903L, null, "unattributed"))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val capped = Domains.domainFrequencyCap(df, "dom", cap = 10)
+    val got = capped.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // the naive oracle: global per-domain rank by (md5(doc_id), doc_id)
+    val naive = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dom"))
+          .orderBy(md5(concat(col("doc_id").cast("string"), lit(":domain-cap"))),
+            col("doc_id"))).cast("long"))
+      .where(col("rn") <= 10 || col("dom").isNull)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == naive)
+    assert(got.count(_._2.contains("viral.example")) == 10)
+    assert(got.count(_._2.contains("tiny.example")) == 2) // under cap: all kept
+    assert(got.exists(_._1 == 903L)) // null domain never capped
+    // full schema survives
+    assert(capped.columns.toSeq == Seq("doc_id", "dom", "text"))
+    // determinism under repartitioning (hash priority, not arrival order)
+    val again = Domains.domainFrequencyCap(df.repartition(7), "dom", cap = 10)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(again == got)
+    // cap above every domain: identity
+    assert(Domains.domainFrequencyCap(df, "dom", cap = 1000).count() == df.count())
+  }
+
   test("ngram jaccard pairs agree with direct computation") {
     val df = docsDf(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> "other words entirely")
     val got = Dedup.ngramJaccardPairs(df, 3, 0.3).collect()

@@ -150,7 +150,7 @@ class PipelineSpec extends AnyFunSuite {
     val out = "/tmp/graft_pipeline_full"
     rmrf(out)
     val fcfg = cfg(out).copy(dropLines = true, lineMaxDocFreq = 2,
-      redact = true, sampleDefault = 0.7)
+      domainCap = Some(2L), redact = true, sampleDefault = 0.4)
     // run 1: killed right after the redact stage commits
     intercept[RuntimeException] {
       Pipeline.run(spark, fcfg, failAfter = Some("s4r_redact"))
@@ -159,12 +159,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$out/s5_pack")))
     val stages = Pipeline.run(spark, fcfg)
     assert(stages.map(_.stage) == Seq("extract", "s1_exact", "s1b_lines",
-      "s2_neardup", "s3_decontam", "s4_quality", "s4r_redact", "s4s_sample", "s5_pack"))
+      "s2_neardup", "s3_decontam", "s4_quality", "s4d_domain", "s4r_redact",
+      "s4s_sample", "s5_pack"))
     val byName = stages.map(s => s.stage -> s).toMap
     // line stage: row-preserving unless a doc was ALL boilerplate
     assert(byName("s1b_lines").rows_out <= byName("s1b_lines").rows_in)
     assert(byName("s2_neardup").rows_in == byName("s1b_lines").rows_out)
-    // redaction is row-preserving; sampling keeps ~70% deterministically
+    // domain cap: no doc-id family exceeds the cap in the stage output,
+    // and at least one family was actually capped on this corpus
+    val dc = byName("s4d_domain")
+    assert(dc.rows_out < dc.rows_in && dc.rows_out > 0)
+    val famCounts = spark.read.parquet(s"$out/s4d_domain")
+      .select(org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("doc_id"), "^doc-([a-z]+)-", 1).as("fam"))
+      .groupBy("fam").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(famCounts.nonEmpty && famCounts.forall(_._2 <= 2L), famCounts.toSeq)
+    // redaction is row-preserving; sampling keeps ~40% deterministically
     assert(byName("s4r_redact").rows_out == byName("s4r_redact").rows_in)
     val sm = byName("s4s_sample")
     assert(sm.rows_out < sm.rows_in && sm.rows_out > 0)
@@ -187,7 +197,7 @@ class PipelineSpec extends AnyFunSuite {
     val third = Pipeline.run(spark, fcfg.copy(sampleDefault = 0.5))
     val f = stages.map(s => s.stage -> s.committed_at).toMap
     Seq("s1_exact", "s1b_lines", "s2_neardup", "s3_decontam", "s4_quality",
-      "s4r_redact").foreach { s =>
+      "s4d_domain", "s4r_redact").foreach { s =>
       assert(third.find(_.stage == s).get.committed_at == f(s), s)
     }
     Seq("s4s_sample", "s5_pack").foreach { s =>
