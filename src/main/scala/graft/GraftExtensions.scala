@@ -93,5 +93,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, "graft_rhp_sig(vec, bits)")
       RhpSigExpr(args(0), litInt("graft_rhp_sig", "bits")(args(1)))
     }
+    inject("graft_rhp_multi_sig",
+      "_FUNC_(vec, bits) - multi-word packed random-hyperplane signature " +
+        "(array of longs, 64 sign bits per word) for wide LSH band keys " +
+        "(`bits` must be an integer literal, up to 1024).") { args =>
+      require(args.length == 2, "graft_rhp_multi_sig(vec, bits)")
+      RhpMultiSigExpr(args(0), litInt("graft_rhp_multi_sig", "bits")(args(1)))
+    }
   }
 }

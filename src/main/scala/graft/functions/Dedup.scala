@@ -794,27 +794,40 @@ object Dedup {
     * near-identical sign patterns, so recall at near-dup thresholds is high
     * (verified against [[embeddingNearDuplicates]] in tests).
     *
+    * Band geometry is the SCALE dial (round 6; previously 32 bits / 8 bands
+    * = 4-bit keys): a random pair collides in a w-bit band with probability
+    * ≈ 2^-w, so expected bucket size is n·2^-w — 4-bit keys fill every
+    * bucket once n passes ~16k, making the candidate set quadratic in n for
+    * UNRELATED vectors (and the cap would then cost real recall). Choose
+    * w ≳ log2(n / target bucket). The defaults — 256 hyperplanes
+    * ([[graft.functions.RhpMultiSigExpr]], multi-word signature), 16 bands
+    * of 16-bit keys — keep random buckets ≈ n/65536 (tens at 10^6 vectors;
+    * raise `bits` again past ~10^8). Recall: per-plane agreement at cosine s
+    * is q = 1 − arccos(s)/π; a band matches with q^w and some band matches
+    * with 1 − (1 − q^w)^numBands ≈ 0.96 at s = 0.95, ≈ 0.999 at s = 0.98
+    * (the recall spec's regime).
+    *
     * `maxBandBucket` (VERDICT r05 #2) — the same hot-band guard as
-    * [[minHashNearDuplicates]]: a cluster of k near-identical embeddings
-    * (re-encoded copies of one viral page) shares every sign pattern, so the
-    * former band self-join emitted O(k²) candidates per band. Buckets over
-    * the cap emit min-id-hub star edges instead — O(k), cluster stays
-    * connected for a downstream CC drop. Recall trade mirrors the MinHash
-    * note: hot-bucket member pairs are reported only transitively through
-    * the hub, and in a bucket of sign-identical embeddings the hub's cosine
-    * to every member is as high as any member pair's — second-order loss,
-    * planted-cluster spec. Cap exceedance is observable via the
+    * [[minHashNearDuplicates]], now guarding TRUE near-identical clusters
+    * rather than random pileups: k re-encoded copies of one viral page share
+    * every sign pattern, so an uncapped band join emits O(k²) candidates.
+    * Buckets over the cap emit min-id-hub star edges instead — O(k), cluster
+    * stays connected for a downstream CC drop. Recall trade mirrors the
+    * MinHash note: hot-bucket member pairs are reported only transitively
+    * through the hub, and in a bucket of sign-identical embeddings the hub's
+    * cosine to every member is as high as any member pair's — second-order
+    * loss, planted-cluster spec. Cap exceedance is observable via the
     * `graft.embed_lsh.bands.*` metric ([[observeHotBuckets]]). */
   def embeddingNearDuplicatesLsh(embeddings: DataFrame, threshold: Double = 0.95,
-                                 bits: Int = 32, numBands: Int = 8,
+                                 bits: Int = 256, numBands: Int = 16,
                                  maxBandBucket: Int = 1024): DataFrame = {
     require(maxBandBucket >= 2, s"maxBandBucket must be >= 2, got $maxBandBucket")
-    // per-row one-pass packed signature ([[RhpSigExpr]]) banded into
-    // bits/numBands-bit chunks; the band aggregation ships (band, id) only
+    // per-row one-pass packed signature banded into bits/numBands-bit
+    // chunks; the band aggregation ships (band, id) only
     val banded = embeddings
-      .select(col("vec_id"), graft.functions.RhpSigExpr(col("embedding"), bits).as("sig"))
+      .select(col("vec_id"), graft.functions.RhpMultiSigExpr(col("embedding"), bits).as("sig"))
       .select(col("vec_id"),
-        posexplode(Similarity.rhpBandKeys(col("sig"), bits, numBands)).as(Seq("band_idx", "band_key")))
+        posexplode(Similarity.rhpMultiBandKeys(col("sig"), bits, numBands)).as(Seq("band_idx", "band_key")))
     val ids = col("ids")
     val cand = observeHotBuckets(
       banded.groupBy(col("band_idx"), col("band_key"))

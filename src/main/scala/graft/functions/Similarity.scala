@@ -65,6 +65,23 @@ object Similarity {
     }: _*)
   }
 
+  /** Band keys over a MULTI-word signature ([[graft.functions.RhpMultiSigExpr]],
+    * `array<long>`): band b reads `bits/numBands` consecutive bits. The band
+    * width must divide 64 so no key straddles a word boundary — extraction
+    * stays one shift + mask per band. */
+  private[functions] def rhpMultiBandKeys(sig: Column, bits: Int, numBands: Int): Column = {
+    require(numBands >= 1 && bits % numBands == 0,
+      s"bits=$bits must divide evenly into numBands=$numBands bands")
+    val rpb = bits / numBands
+    require(rpb <= 64 && 64 % rpb == 0,
+      s"band width $rpb must divide the 64-bit word")
+    val mask = if (rpb == 64) -1L else (1L << rpb) - 1
+    array((0 until numBands).map { b =>
+      val bit = b * rpb
+      shiftright(element_at(sig, bit / 64 + 1), bit % 64).bitwiseAND(lit(mask))
+    }: _*)
+  }
+
   /** Deterministic coarse k-means quantizer for [[ivfTopK]]: training runs
     * on a deterministic sample — the `trainSampleN` corpus rows with the
     * smallest `xxhash64(vec_id)` (stable under any partitioning or scan

@@ -401,6 +401,63 @@ object RhpSigExpr {
     ColumnBridge.column(RhpSigExpr(ColumnBridge.expression(embedding), bits))
 }
 
+/** Multi-word random-hyperplane signature: `rhp_multi_sig(embedding, bits) →
+  * array<long>` for bits beyond one word (up to 1024, packed LSB-first per
+  * 64-bit word). Same fused single-pass shape as [[RhpSigExpr]]: one
+  * splitmix64 mix per (dimension, word) yields 64 weight bits at once. Word
+  * 0 uses RhpSigExpr's seed, so for bits <= 64 the lone word EQUALS the
+  * single-word signature bit-for-bit (spec-pinned); words 1+ advance the
+  * seed by the golden gamma.
+  *
+  * Why it exists (round 6): LSH banding needs band keys of
+  * ~log2(corpus/target-bucket) bits to keep RANDOM collisions from filling
+  * buckets — 16-bit keys need 256 hyperplanes at 16 bands, past the 64-bit
+  * ceiling of the packed-long form. */
+case class RhpMultiSigExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 1024, "rhp_multi_sig supports 1..1024 hyperplanes")
+  private val words = (bits + 63) / 64
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rhp_multi_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val proj = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getFloat(i).toDouble
+        var w = 0
+        while (w < words) {
+          val ww = HashUtil.mix(-3750763034362895579L + w * -7046029254386353131L, i)
+          val base = w * 64
+          val hi = math.min(64, bits - base)
+          var p = 0
+          while (p < hi) {
+            if (((ww >>> p) & 1L) == 1L) proj(base + p) += x else proj(base + p) -= x
+            p += 1
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+    val sig = new Array[Long](words)
+    var p = 0
+    while (p < bits) { if (proj(p) >= 0) sig(p >> 6) |= (1L << (p & 63)); p += 1 }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpMultiSigExpr =
+    copy(child = newChild)
+}
+
+object RhpMultiSigExpr {
+  def apply(embedding: Column, bits: Int): Column =
+    ColumnBridge.column(RhpMultiSigExpr(ColumnBridge.expression(embedding), bits))
+}
+
 /** Nearest-centroids assignment for IVF ANN: `nearest_centroids(embedding)
   * → array<int>` of the `nProbe` centroid indices ranked by cosine (ties by
   * index). The centroid matrix (small: nLists × dims) ships inside the

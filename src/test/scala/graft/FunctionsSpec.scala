@@ -503,6 +503,20 @@ class FunctionsSpec extends AnyFunSuite {
     val scaled = embDf(vecs.map { case (i, v) => i -> v.map(_ * 3.0f) }: _*)
     val s3 = scaled.select(Similarity.rhpSignature(col("embedding"), 32)).collect().map(_.getLong(0))
     assert(s1.toSeq == s3.toSeq)
+    // multi-word signature: word 0 equals the single-word signature
+    // bit-for-bit at bits <= 64 (shared seed — pinned so the two forms stay
+    // interchangeable), and the wide form is deterministic with the right
+    // word count
+    val m32 = df.select(graft.functions.RhpMultiSigExpr(col("embedding"), 32))
+      .collect().map(_.getSeq[Long](0))
+    assert(m32.forall(_.length == 1) && m32.map(_.head).toSeq == s1.toSeq)
+    val m256a = df.select(graft.functions.RhpMultiSigExpr(col("embedding"), 256))
+      .collect().map(_.getSeq[Long](0))
+    val m256b = df.select(graft.functions.RhpMultiSigExpr(col("embedding"), 256))
+      .collect().map(_.getSeq[Long](0))
+    assert(m256a.forall(_.length == 4) && m256a.toSeq == m256b.toSeq)
+    // words differ (independent hyperplane sets per word)
+    assert(m256a.exists(ws => ws.distinct.length > 1))
   }
 
   test("connectedComponents labels chains and separate clusters with min ids") {
