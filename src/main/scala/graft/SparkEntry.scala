@@ -501,6 +501,13 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
         round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"),
         countDistinct(col("lang")).as("n_langs"))),
+    // domain-stratified sampling: the provenance-keyed form of the
+    // language-stratified rebalance — cap a dominant domain's share by a
+    // deterministic per-domain keep fraction, tail domains pass whole
+    "t_domain_sample" -> ((s, dir) =>
+      TextAnalysis.sampleStratified(documents(s, dir), "source",
+          Map("src3" -> 0.5, "src7" -> 0.25))
+        .select(col("doc_id"), col("source"))),
     // mega-domain frequency cap (C4-style): at most N docs per source,
     // chosen by the deterministic md5-hash priority — under-cap domains
     // pass through a broadcast anti-join untouched, over-cap domains rank
@@ -996,6 +1003,11 @@ object SparkEntry {
          |  round(avg(q.quality), 4) AS mean_quality,
          |  count(DISTINCT s0.lang) AS n_langs
          |FROM s0 JOIN q ON s0.doc_id = q.doc_id GROUP BY 1""".stripMargin,
+    "t_domain_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE WHEN source = 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN source = 'src7' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  ELSE TRUE END""".stripMargin,
     "t_domain_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
