@@ -515,6 +515,14 @@ object SparkEntry {
     "t_domain_cap" -> ((s, dir) =>
       Domains.domainFrequencyCap(documents(s, dir), "source", 10)
         .select(col("doc_id"), col("source"))),
+    // token-budget domain mixer (DoReMi/Pile-style mixture weights): keep
+    // fraction per domain = min(1, share×budget / actual tokens), applied
+    // as the salted deterministic hash predicate; shares are dyadic
+    // rationals so share×budget is exact in IEEE double on both engines
+    "t_token_mix" -> ((s, dir) =>
+      Domains.tokenBudgetMix(documents(s, dir), "source",
+          Map("src1" -> 0.25, "src4" -> 0.25, "src8" -> 0.5), 3000)
+        .select(col("doc_id"), col("source"))),
     // planted-PII redaction: the corpus is synthetic word-salad (no PII), so
     // the redaction semantics are oracled over a fixed VALUES table that both
     // engines evaluate from scratch
@@ -1013,6 +1021,23 @@ object SparkEntry {
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':domain-cap'), doc_id) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
+    "t_token_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tok
+        |  FROM documents WHERE source IN ('src1','src4','src8')),
+        |sums AS (SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS atok FROM tok GROUP BY 1),
+        |thr AS (SELECT source,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |      CASE source WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+        |                  WHEN 'src4' THEN CAST(0.25 AS DOUBLE)
+        |                  ELSE CAST(0.5 AS DOUBLE) END * CAST(3000 AS DOUBLE) / atok)
+        |      * CAST(65536 AS DOUBLE)) AS BIGINT) AS bucket
+        |  FROM sums)
+        |SELECT t.doc_id, t.source FROM tok t JOIN thr USING (source)
+        |WHERE thr.bucket >= 65536
+        |   OR substr(md5(CAST(t.doc_id AS VARCHAR) || ':token-mix'), 1, 4) < printf('%04x', thr.bucket)""".stripMargin,
     "t_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,5 +87,76 @@ object Domains {
     local.unpersist(false)
     val keptHot = hotDocs.join(keptKeys, col(keyCol) === col("k_key"), "left_semi")
     cold.unionByName(keptHot)
+  }
+
+  /** Token-budget domain mixer — the mix-SHAPING stage that runs after the
+    * cap/dedup/filter stages: given target token SHARES per domain and a
+    * total token budget, keep a deterministic per-domain sample whose
+    * expected token mass hits each domain's share of the budget. This is
+    * the "data mixture" knob of a training-data pipeline (DoReMi/Pile-style
+    * domain weights) expressed as a corpus operator: `share_d × budget`
+    * tokens wanted from domain d, `min(1, wanted / actual)` as the keep
+    * fraction, applied with the same md5-bucket predicate as
+    * [[TextAnalysis.sampleHash]] so membership is a pure function of the
+    * key (stable under retries/resume/repartitioning). Domains absent from
+    * `targets` are excluded — a mixer defines the whole mix, unlike the
+    * cap/sample operators whose untargeted rows pass through. The priority
+    * hash is salted (`:token-mix`) for independence from the cap's
+    * `:domain-cap` hash and the stratified sampler's unsalted hash — two
+    * stages selecting by the same hash of the same key are fully
+    * correlated, not independent (the bug class the cap's Scaladoc
+    * documents).
+    *
+    * Plan shape at 100 TB (two scans, which is the floor — the keep
+    * fraction depends on a global per-domain aggregate):
+    *  1. Pass 1 aggregates (domain → Σ tokens) over the target domains
+    *     only; partial/final combine absorbs domain skew and the result is
+    *     |targets| rows.
+    *  2. The per-domain bucket thresholds derive from that aggregate and
+    *     BROADCAST-join back onto the corpus — the corpus itself never
+    *     shuffles; the keep predicate evaluates inside the probe scan.
+    * Expected (not exact) token mass per domain: doc-level hash sampling
+    * is the standard trade — an exact token cutoff would need the
+    * per-domain exact-rank machinery of [[domainFrequencyCap]] over token
+    * prefix sums, serving no training purpose (the mix target is
+    * statistical). Domains whose actual mass is under their want keep
+    * everything (fraction capped at 1); the mixer under-fills rather than
+    * up-samples — repetition policy is a separate concern.
+    */
+  def tokenBudgetMix(df: DataFrame, domainCol: String,
+                     targets: Map[String, Double], budgetTokens: Long,
+                     keyCol: String = "doc_id",
+                     tokenCount: Column => Column =
+                       TextAnalysis.tokenCount(_).cast("long")): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(targets.nonEmpty, "targets must be non-empty")
+    targets.foreach { case (d, s) =>
+      require(s > 0.0 && s <= 1.0, s"share for domain '$d' must be in (0,1], got $s") }
+    val shareSum = targets.values.sum
+    require(shareSum <= 1.0 + 1e-9, s"target shares sum to $shareSum > 1")
+    val domain = col(domainCol)
+    val targeted = df.where(domain.isin(targets.keys.toSeq: _*))
+    // pass 1: actual token mass per target domain (|targets| rows)
+    val sums = targeted
+      .groupBy(domain.as("mx_dom"))
+      .agg(sum(tokenCount(col("text"))).as("mx_actual"))
+    // share lookup as a literal CASE chain (targets is an explicit API map,
+    // driver-small by construction)
+    val share = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, s)) => when(col("mx_dom") === d, lit(s)).otherwise(acc)
+    }
+    // floor, not round: floor() is bit-identical across engines while
+    // round() half-way semantics differ (Spark HALF_UP vs DuckDB's banker-
+    // leaning doubles) — the oracle compares hashes, not approximations
+    val thresholds = sums
+      .withColumn("mx_bucket",
+        floor(least(lit(1.0), share * lit(budgetTokens.toDouble) /
+          col("mx_actual").cast("double")) * lit(65536.0)).cast("long"))
+      .select(col("mx_dom"), col("mx_bucket"))
+    df.join(broadcast(thresholds), domain === col("mx_dom"))
+      .where(col("mx_bucket") >= 65536 ||
+        substring(md5(concat(col(keyCol).cast("string"), lit(":token-mix"))), 1, 4) <
+          format_string("%04x", col("mx_bucket")))
+      .drop("mx_dom", "mx_bucket")
   }
 }

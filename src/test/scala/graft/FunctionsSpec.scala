@@ -262,6 +262,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Domains.domainFrequencyCap(df, "dom", cap = 1000).count() == df.count())
   }
 
+  test("token-budget mix: over-budget domain sampled to fraction, under-budget whole, untargeted dropped") {
+    import graft.functions.Domains
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dom", StringType), StructField("text", StringType)))
+    // domA: 200 docs x 5 tokens = 1000; share 0.5 of budget 500 -> want 250 -> f=0.25
+    // domB: 10 docs x 2 tokens = 20; share 0.25 -> want 125 > 20 -> f=1 (keep all)
+    // domC: untargeted -> dropped
+    val rows = (0L until 200L).map(i => Row(i, "domA", "a b c d e")) ++
+      (500L until 510L).map(i => Row(i, "domB", "x y")) ++
+      (900L until 905L).map(i => Row(i, "domC", "z z z"))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val targets = Map("domA" -> 0.5, "domB" -> 0.25)
+    val mixed = Domains.tokenBudgetMix(df, "dom", targets, 500)
+    val got = mixed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mixed.columns.toSeq == Seq("doc_id", "dom", "text")) // schema survives
+    assert(!got.exists(_._2 == "domC")) // mixer defines the whole mix
+    assert(got.count(_._2 == "domB") == 10) // under-budget: whole
+    // domA kept set == the naive hash-threshold oracle computed directly
+    val bucket = math.floor(math.min(1.0, 0.5 * 500.0 / 1000.0) * 65536.0).toLong
+    assert(bucket == 16384L)
+    def md5hex4(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(2).map(b => f"${b & 0xff}%02x").mkString
+    val expA = (0L until 200L).filter(i =>
+      md5hex4(s"$i:token-mix") < f"$bucket%04x").map(i => (i, "domA")).toSet
+    assert(got.filter(_._2 == "domA") == expA)
+    // the sample is statistically near the target fraction (0.25 of 200)
+    assert(expA.size > 25 && expA.size < 75)
+    // determinism under repartitioning (hash membership, not arrival order)
+    val again = Domains.tokenBudgetMix(df.repartition(7), "dom", targets, 500)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got)
+    // zero budget drops every targeted doc
+    assert(Domains.tokenBudgetMix(df, "dom", targets, 0).count() == 0)
+    // share validation
+    intercept[IllegalArgumentException] {
+      Domains.tokenBudgetMix(df, "dom", Map("domA" -> 0.9, "domB" -> 0.2), 500) }
+    intercept[IllegalArgumentException] {
+      Domains.tokenBudgetMix(df, "dom", Map("domA" -> 0.0), 500) }
+  }
+
   test("ngram jaccard pairs agree with direct computation") {
     val df = docsDf(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> "other words entirely")
     val got = Dedup.ngramJaccardPairs(df, 3, 0.3).collect()
