@@ -45,6 +45,12 @@ import org.apache.spark.sql.SparkSession
   *                                      // fractions (stratified rebalance)
   *   [--sample-default 1.0]             // pipeline: fraction for languages
   *                                      // not listed in --sample
+  *   [--mix doma=0.5,domb=0.25]         // pipeline: target token SHARE per
+  *                                      // provenance domain (with
+  *                                      // --mix-budget; untargeted domains
+  *                                      // drop — the mixer defines the mix)
+  *   [--mix-budget N]                   // pipeline: total token budget the
+  *                                      // shares apply to
   *   [--format parquet|iceberg]         // pipeline: storage seam (DocStore);
   *                                      // iceberg needs its runtime jar
   * }}}
@@ -138,6 +144,11 @@ object Main {
           k.trim -> v.trim.toDouble
         }.toMap).getOrElse(Map.empty),
         sampleDefault = opts.getOrElse("sample-default", "1.0").toDouble,
+        mixTargets = opts.get("mix").map(_.split(",").iterator.map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.trim -> v.trim.toDouble
+        }.toMap).getOrElse(Map.empty),
+        mixBudget = opts.get("mix-budget").map(_.toLong),
         format = opts.getOrElse("format", "parquet"))
       val stages = Pipeline.run(spark, cfg)
       stages.foreach(s => println(

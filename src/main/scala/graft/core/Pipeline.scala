@@ -51,6 +51,12 @@ final case class StageLineage(
   *   ─▶ s4s_sample   sampleStratified           (optional, --sample/-default:
   *                                               final corpus rebalance,
   *                                               deterministic hash split)
+  *   ─▶ s4m_mix      tokenBudgetMix             (optional, --mix/--mix-budget:
+  *                                               token-share mixture over
+  *                                               provenance domains — the
+  *                                               LAST filter, it defines the
+  *                                               final mix and drops
+  *                                               untargeted domains)
   *   ─▶ s5_pack      packSequences              (two-level prefix sum)
   * }}}
   *
@@ -99,6 +105,10 @@ object Pipeline {
       // default is < 1.0
       sampleFractions: Map[String, Double] = Map.empty,
       sampleDefault: Double = 1.0,
+      // token-budget domain mixer (stage on iff budget AND targets given):
+      // target token share per provenance domain + total token budget
+      mixTargets: Map[String, Double] = Map.empty,
+      mixBudget: Option[Long] = None,
       // storage seam: the format every stage table and lineage row is
       // written/read with (DocStore) — parquet locally, iceberg where its
       // runtime exists
@@ -310,6 +320,24 @@ object Pipeline {
       }
       current = s"${cfg.outPath}/s4s_sample"
       checkpoint("s4s_sample")
+    }
+
+    cfg.mixBudget.filter(_ => cfg.mixTargets.nonEmpty).foreach { budget =>
+      // the LAST filter stage: the mixer defines the final training mix
+      // (untargeted domains drop), so every upstream gate must already have
+      // run — its per-domain token masses are measured on exactly the docs
+      // that would otherwise be packed. Domain is the same provenance key
+      // as s4d_domain (a crawl pipeline reads its host column the same way).
+      val params = "targets=" + cfg.mixTargets.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(";") + s",budget=$budget"
+      rows += runStage(spark, cfg, "s4m_mix", Seq(current), params) { in =>
+        Domains.tokenBudgetMix(
+          in.withColumn("graft_domain",
+            regexp_extract(col("doc_id"), "^doc-([a-z]+)-", 1)),
+          "graft_domain", cfg.mixTargets, budget).drop("graft_domain")
+      }
+      current = s"${cfg.outPath}/s4m_mix"
+      checkpoint("s4m_mix")
     }
 
     rows += runStage(spark, cfg, "s5_pack", Seq(current),

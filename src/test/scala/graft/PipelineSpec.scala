@@ -205,6 +205,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget mix stage defines the final mix, matches the direct operator, and resumes on budget change") {
+    writeInputs()
+    val out = "/tmp/graft_pipeline_mix"
+    rmrf(out)
+    // budget derived from the measured post-quality token mass of the
+    // 'runs' family so its 0.75 share is over-provisioned (keep-all branch)
+    // while 'headings' at 0.25 lands a fraction well under 1 (sampled
+    // branch); first run the chain up to quality to measure
+    val targets = Map("headings" -> 0.25, "runs" -> 0.75)
+    val probeCfg = cfg(out)
+    Pipeline.run(spark, probeCfg)
+    val quality = spark.read.parquet(s"$out/s4_quality")
+      .withColumn("fam", regexp_extract(col("doc_id"), "^doc-([a-z]+)-", 1))
+    val runsMass = quality.where(col("fam") === "runs")
+      .agg(sum(graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .collect()(0).getLong(0)
+    val budget = math.ceil(runsMass / 0.75).toLong + 4
+    val mcfg = probeCfg.copy(mixTargets = targets, mixBudget = Some(budget))
+    val stages = Pipeline.run(spark, mcfg)
+    assert(stages.map(_.stage) == Seq("extract", "s1_exact", "s2_neardup",
+      "s3_decontam", "s4_quality", "s4m_mix", "s5_pack"))
+    val mixed = spark.read.parquet(s"$out/s4m_mix")
+      .withColumn("fam", regexp_extract(col("doc_id"), "^doc-([a-z]+)-", 1))
+    val byFam = mixed.groupBy("fam").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // untargeted families drop — the mixer defines the whole mix
+    assert(byFam.keySet.subsetOf(targets.keySet), byFam)
+    // over-provisioned share keeps the family whole
+    val runsAll = quality.where(col("fam") === "runs").count()
+    assert(byFam.getOrElse("runs", 0L) == runsAll)
+    // under-provisioned share is properly sampled
+    val headsAll = quality.where(col("fam") === "headings").count()
+    assert(byFam.getOrElse("headings", 0L) > 0 && byFam("headings") < headsAll, byFam)
+    // stage output == the direct operator applied to the quality output
+    val direct = graft.functions.Domains.tokenBudgetMix(
+        spark.read.parquet(s"$out/s4_quality").withColumn("graft_domain",
+          regexp_extract(col("doc_id"), "^doc-([a-z]+)-", 1)),
+        "graft_domain", targets, budget)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(mixed.select("doc_id").collect().map(_.getString(0)).toSet == direct)
+    // budget change re-derives only the mix and pack stages
+    val f = stages.map(s => s.stage -> s.committed_at).toMap
+    val again = Pipeline.run(spark, mcfg.copy(mixBudget = Some(budget / 2)))
+    Seq("s1_exact", "s2_neardup", "s3_decontam", "s4_quality").foreach { s =>
+      assert(again.find(_.stage == s).get.committed_at == f(s), s) }
+    Seq("s4m_mix", "s5_pack").foreach { s =>
+      assert(again.find(_.stage == s).get.committed_at != f(s), s) }
+  }
+
   test("upstream parameter change invalidates downstream stages transitively") {
     writeInputs()
     val out = "/tmp/graft_pipeline_params"
