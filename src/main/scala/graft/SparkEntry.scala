@@ -523,6 +523,14 @@ object SparkEntry {
       Domains.tokenBudgetMix(documents(s, dir), "source",
           Map("src1" -> 0.25, "src4" -> 0.25, "src8" -> 0.5), 3000)
         .select(col("doc_id"), col("source"))),
+    // repetition-aware mixer: domains under their token want get UP-SAMPLED
+    // via repeated epochs (floor(q) full passes + hash-sampled remainder);
+    // budget 6000 makes src1 down-sample (epoch 0 only), src4 one full
+    // epoch + remainder, src8 two full epochs + remainder
+    "t_token_mix_epochs" -> ((s, dir) =>
+      Domains.tokenBudgetMixEpochs(documents(s, dir), "source",
+          Map("src1" -> 0.125, "src4" -> 0.375, "src8" -> 0.5), 6000)
+        .select(col("doc_id"), col("source"), col("epoch"))),
     // planted-PII redaction: the corpus is synthetic word-salad (no PII), so
     // the redaction semantics are oracled over a fixed VALUES table that both
     // engines evaluate from scratch
@@ -1038,6 +1046,31 @@ object SparkEntry {
         |SELECT t.doc_id, t.source FROM tok t JOIN thr USING (source)
         |WHERE thr.bucket >= 65536
         |   OR substr(md5(CAST(t.doc_id AS VARCHAR) || ':token-mix'), 1, 4) < printf('%04x', thr.bucket)""".stripMargin,
+    "t_token_mix_epochs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tok
+        |  FROM documents WHERE source IN ('src1','src4','src8')),
+        |sums AS (SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS atok FROM tok GROUP BY 1),
+        |qd AS (SELECT source, atok,
+        |    (CASE source WHEN 'src1' THEN CAST(0.125 AS DOUBLE)
+        |                 WHEN 'src4' THEN CAST(0.375 AS DOUBLE)
+        |                 ELSE CAST(0.5 AS DOUBLE) END * CAST(6000 AS DOUBLE)) / atok AS q
+        |  FROM sums),
+        |thr AS (SELECT source,
+        |    CASE WHEN atok = 0 THEN CAST(0 AS BIGINT)
+        |         WHEN q >= 50 THEN CAST(50 AS BIGINT)
+        |         ELSE CAST(floor(q) AS BIGINT) END AS nfull,
+        |    CASE WHEN atok = 0 THEN CAST(65536 AS BIGINT)
+        |         WHEN q >= 50 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor((q - floor(q)) * CAST(65536 AS DOUBLE)) AS BIGINT) END AS bucket
+        |  FROM qd)
+        |SELECT t.doc_id, t.source, CAST(gs.e AS INT) AS epoch
+        |FROM tok t JOIN thr USING (source)
+        |CROSS JOIN generate_series(0, 50) gs(e)
+        |WHERE gs.e <= thr.nfull AND (gs.e < thr.nfull OR thr.bucket >= 65536
+        |   OR substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix-epoch'), 1, 4) < printf('%04x', thr.bucket))""".stripMargin,
     "t_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -159,4 +159,72 @@ object Domains {
           format_string("%04x", col("mx_bucket")))
       .drop("mx_dom", "mx_bucket")
   }
+
+  /** Repetition-aware token-budget mixer — the up-sampling counterpart of
+    * [[tokenBudgetMix]]: where that operator under-fills a domain whose
+    * actual token mass is below its share of the budget, this one emits
+    * REPEATED epochs (the standard practice for high-value domains —
+    * up-sample rather than under-fill). Per domain with
+    * `q = share × budget / actual`: each doc appears at epochs
+    * `0 .. floor(q)-1` unconditionally (full passes over the domain), plus
+    * a final partial epoch containing the deterministic hash-sample at the
+    * remainder fraction `q - floor(q)` — so expected token mass is exactly
+    * `share × budget`. `q ≤ 1` degenerates to the plain mixer's sampling
+    * with every kept doc at epoch 0. The output adds an `epoch` int column
+    * (training shards key on it); untargeted domains drop as in the plain
+    * mixer. The remainder sample is salted `:mix-epoch`, independent of
+    * every other hash-selection stage.
+    *
+    * Plan shape: identical to [[tokenBudgetMix]] (one narrow aggregate
+    * pass, |targets|-row broadcast back, corpus never shuffles) — the
+    * epoch fan-out is a per-row generator (`explode(sequence(...))`)
+    * inside the probe scan, output-proportional only. `maxEpochs` caps the
+    * fan-out: a domain whose `q` reaches the cap gets exactly `maxEpochs`
+    * full epochs and no remainder (a misconfigured budget against a tiny
+    * domain must not explode the corpus); the cap is part of the operator
+    * contract, mirrored by the oracle.
+    */
+  def tokenBudgetMixEpochs(df: DataFrame, domainCol: String,
+                           targets: Map[String, Double], budgetTokens: Long,
+                           keyCol: String = "doc_id", maxEpochs: Int = 50,
+                           tokenCount: Column => Column =
+                             TextAnalysis.tokenCount(_).cast("long")): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(targets.nonEmpty, "targets must be non-empty")
+    targets.foreach { case (d, s) =>
+      require(s > 0.0 && s <= 1.0, s"share for domain '$d' must be in (0,1], got $s") }
+    require(targets.values.sum <= 1.0 + 1e-9,
+      s"target shares sum to ${targets.values.sum} > 1")
+    val domain = col(domainCol)
+    val targeted = df.where(domain.isin(targets.keys.toSeq: _*))
+    val sums = targeted
+      .groupBy(domain.as("mx_dom"))
+      .agg(sum(tokenCount(col("text"))).as("mx_actual"))
+    val share = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, s)) => when(col("mx_dom") === d, lit(s)).otherwise(acc)
+    }
+    // guards ordered so q (division by actual, possibly ±Inf) only reaches
+    // floor — an ANSI-mode overflow error on Inf — in the finite branch
+    val thresholds = sums
+      .withColumn("mx_q", share * lit(budgetTokens.toDouble) /
+        col("mx_actual").cast("double"))
+      .withColumn("mx_full",
+        when(col("mx_actual") === 0, lit(0L))
+          .when(col("mx_q") >= maxEpochs, lit(maxEpochs.toLong))
+          .otherwise(floor(col("mx_q"))))
+      .withColumn("mx_bucket",
+        when(col("mx_actual") === 0, lit(65536L))
+          .when(col("mx_q") >= maxEpochs, lit(0L))
+          .otherwise(floor((col("mx_q") - floor(col("mx_q")).cast("double")) *
+            lit(65536.0))))
+      .select(col("mx_dom"), col("mx_full"), col("mx_bucket"))
+    df.join(broadcast(thresholds), domain === col("mx_dom"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("mx_full"))))
+      .where(col("epoch") < col("mx_full") || col("mx_bucket") >= 65536 ||
+        substring(md5(concat(col(keyCol).cast("string"), lit(":mix-epoch"))), 1, 4) <
+          format_string("%04x", col("mx_bucket")))
+      .withColumn("epoch", col("epoch").cast("int"))
+      .drop("mx_dom", "mx_full", "mx_bucket")
+  }
 }

@@ -303,6 +303,48 @@ class FunctionsSpec extends AnyFunSuite {
       Domains.tokenBudgetMix(df, "dom", Map("domA" -> 0.0), 500) }
   }
 
+  test("token-budget mix epochs: full passes + hash-sampled remainder, epoch cap, q<=1 degeneracy") {
+    import graft.functions.Domains
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dom", StringType), StructField("text", StringType)))
+    // domA: 200 x 5 tok = 1000; domB: 10 x 2 tok = 20; domC untargeted
+    val rows = (0L until 200L).map(i => Row(i, "domA", "a b c d e")) ++
+      (500L until 510L).map(i => Row(i, "domB", "x y")) ++
+      (900L until 905L).map(i => Row(i, "domC", "z z z"))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // budget 4500: domA want 2250/1000 -> q=2.25: epochs {0,1} for all +
+    // remainder epoch 2 at fraction 0.25; domB want 2250/20 -> q=112.5 >=
+    // maxEpochs=5 -> exactly 5 full epochs, no remainder
+    val targets = Map("domA" -> 0.5, "domB" -> 0.5)
+    val out = Domains.tokenBudgetMixEpochs(df, "dom", targets, 4500, maxEpochs = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "dom", "text", "epoch"))
+    val got = out.select("doc_id", "dom", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(!got.exists(_._2 == "domC"))
+    // domB: every doc at exactly epochs 0..4 (capped, no remainder epoch)
+    val bByDoc = got.filter(_._2 == "domB").groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._3).sorted.toSeq }
+    assert(bByDoc.size == 10 && bByDoc.values.forall(_ == Seq(0, 1, 2, 3, 4)))
+    // domA: all docs at epochs 0 and 1; remainder epoch 2 = md5 oracle
+    val aEpochs = got.filter(_._2 == "domA")
+    assert(aEpochs.count(_._3 == 0) == 200 && aEpochs.count(_._3 == 1) == 200)
+    def md5hex4(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(2).map(b => f"${b & 0xff}%02x").mkString
+    val bucket = math.floor(0.25 * 65536.0).toLong // rem fraction 0.25 exact
+    val expRem = (0L until 200L).filter(i =>
+      md5hex4(s"$i:mix-epoch") < f"$bucket%04x").toSet
+    assert(aEpochs.filter(_._3 == 2).map(_._1).toSet == expRem)
+    assert(expRem.size > 25 && expRem.size < 75) // ~0.25 of 200
+    // expected token mass ~= share x budget: 2.25 passes of 1000 tokens
+    val aMass = aEpochs.length * 5
+    assert(aMass == 2000 + expRem.size * 5)
+    // q <= 1 degenerates to plain-mixer sampling at epoch 0
+    val small = Domains.tokenBudgetMixEpochs(df, "dom", Map("domA" -> 0.25), 1000)
+      .select("epoch").collect().map(_.getInt(0))
+    assert(small.nonEmpty && small.forall(_ == 0))
+  }
+
   test("ngram jaccard pairs agree with direct computation") {
     val df = docsDf(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> "other words entirely")
     val got = Dedup.ngramJaccardPairs(df, 3, 0.3).collect()
