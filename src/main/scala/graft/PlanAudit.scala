@@ -239,6 +239,29 @@ object PlanAudit {
         sb ++= s"## t_domain_cap EXECUTED adaptive plan on a planted viral domain (expect: kept = $n — 10 of the viral 150 by salted-hash priority + all 6 small-domain docs; the FINAL plan is just anti-join bulk + semi-join against the checkpointed kept keys: checkpoint scans = $ckpts (hot set ×2 + kept keys), rangepartitioning exchanges HERE = $ranges — the exact per-domain rank (range partition + per-(pid,domain) window + coarse offsets, no per-domain mega-partition) ran ONCE in the eager kept-key job over the persisted narrow projection, instead of re-executing under every consumer)\n\n```\n$fin\n```\n\n"
       }
       locally {
+        // r06: token-budget mixers — the EXECUTED plans must show the
+        // corpus never shuffles: the only hashpartitioning Exchange is the
+        // |targets|-row token-mass aggregate whose thresholds come back via
+        // BroadcastExchange; the keep predicate (and the epoch generator in
+        // the epochs form) evaluate on the probe side of the broadcast join
+        val mix = spark.range(300).selectExpr("concat('d', id) AS doc_id",
+          "concat('dom', id % 3) AS dom", "'five plain tokens here now' AS text")
+        val kept = graft.functions.Domains.tokenBudgetMix(
+          mix, "dom", Map("dom0" -> 0.25, "dom1" -> 0.25), 200)
+        val nKept = kept.count()
+        val fin = kept.queryExecution.executedPlan.toString
+        val hashEx = "Exchange hashpartitioning".r.findAllIn(fin).length
+        val bcast = "BroadcastExchange".r.findAllIn(fin).length
+        sb ++= s"## t_token_mix EXECUTED adaptive plan (expect: kept = $nKept of 200 targeted (untargeted dom2 dropped by the broadcast inner join); hashpartitioning Exchanges = $hashEx — the token-mass aggregate ONLY, the corpus itself never shuffles; BroadcastExchange = $bcast carrying the |targets|-row thresholds; the md5 keep predicate filters on the probe side)\n\n```\n$fin\n```\n\n"
+        val ep = graft.functions.Domains.tokenBudgetMixEpochs(
+          mix, "dom", Map("dom0" -> 0.5, "dom1" -> 0.5), 20000, maxEpochs = 4)
+        val nEp = ep.count()
+        val finE = ep.queryExecution.executedPlan.toString
+        val hashExE = "Exchange hashpartitioning".r.findAllIn(finE).length
+        val gen = "Generate explode".r.findAllIn(finE).length
+        sb ++= s"## t_token_mix_epochs EXECUTED adaptive plan (expect: rows = $nEp — 100 docs/domain x 4 capped epochs (q = 50 and 50 >= maxEpochs=4 on both targeted domains); hashpartitioning Exchanges = $hashExE (token-mass aggregate only); epoch fan-out Generate(explode(sequence)) = $gen on the PROBE side — output-proportional, never a shuffle)\n\n```\n$finE\n```\n\n"
+      }
+      locally {
         val nll = graft.functions.TextAnalysis.unigramLogProb(d)
         nll.collect()
         val fin = nll.queryExecution.executedPlan.toString
