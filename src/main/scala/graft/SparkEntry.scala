@@ -579,6 +579,11 @@ object SparkEntry {
       import s.implicits._
       Dedup.dropRepeatedLines(LineFixture.rows.toDF("doc_id", "text"), 3)
     }),
+    // exact-substring dedup (Lee et al.): duplicated 10-token spans removed
+    // from every non-canonical occurrence; fully-duplicated docs drop
+    "d_drop_substr" -> ((s, dir) =>
+      Dedup.dropDuplicatedSubstrings(documents(s, dir), 10)
+        .select(col("doc_id"), col("text"))),
     "d_drop_seen" -> ((s, dir) => {
       val docs = documents(s, dir)
       Dedup.dropSeen(docs, docs.where(col("doc_id") % 25 === 0)).select(col("doc_id"))
@@ -1138,6 +1143,24 @@ object SparkEntry {
          |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
          |FROM keep GROUP BY doc_id
          |UNION ALL SELECT doc_id, text FROM ${LineFixture.valuesSql} WHERE text IS NULL""".stripMargin,
+    "d_drop_substr" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |wp AS (SELECT doc_id, t, unnest(range(0, len(t) - 10 + 1)) AS pos
+        |  FROM toks WHERE len(t) >= 10),
+        |w AS (SELECT doc_id, pos, md5(array_to_string(t[pos+1:pos+10], ' ')) AS key FROM wp),
+        |canon AS (SELECT key, min(doc_id * 1000000 + pos) AS c FROM w
+        |  GROUP BY key HAVING count(*) > 1),
+        |rem AS (SELECT w.doc_id, w.pos FROM w JOIN canon USING (key)
+        |  WHERE w.doc_id * 1000000 + w.pos <> canon.c),
+        |tp AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS tpos FROM toks),
+        |kept AS (SELECT tp.doc_id, tp.tok, tp.tpos FROM tp WHERE NOT EXISTS (
+        |  SELECT 1 FROM rem r WHERE r.doc_id = tp.doc_id
+        |    AND r.pos <= tp.tpos AND tp.tpos < r.pos + 10))
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text FROM kept GROUP BY 1
+        |UNION ALL
+        |SELECT doc_id, text FROM documents
+        |WHERE text IS NULL OR length(trim(text)) = 0""".stripMargin,
     // NOT EXISTS, not NOT IN: a NULL fingerprint in the seen-subquery would
     // make NOT IN never-true and drop EVERY document, diverging from the
     // Spark left_anti which keeps null-fp rows (ADVICE r03)

@@ -863,4 +863,78 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): remove every duplicated `windowTokens`-token
+    * span from all but its CANONICAL occurrence — the min (doc_id, pos)
+    * across the corpus. Exact duplicate docs collapse to one copy as a
+    * special case (the non-canonical copy is fully covered and drops), but
+    * the operator's real target is PARTIAL duplication the doc-level
+    * dedups cannot see: boilerplate paragraphs, licence blocks, quoted
+    * chunks — memorization fuel that survives doc-granularity dedup.
+    *
+    * Semantics (deterministic, engine-independent): tokens are the
+    * whitespace split of trimmed text; a token position is removed iff
+    * some window covering it is a non-canonical occurrence of a key shared
+    * by ≥ 2 (doc, pos) sites. Output text is the KEPT token stream joined
+    * by single spaces (whitespace-normalized — the token stream is what a
+    * trainer consumes); docs left with zero tokens drop; null/blank-text
+    * docs pass unchanged (the unscorable-rows-pass contract). Window keys
+    * are md5 of the joined window (16 bytes through the shuffle instead of
+    * a W-token string; both engines compute identical md5); canonical
+    * encoding `doc_id·10⁶ + pos` assumes docs under 10⁶ tokens — mega-docs
+    * should be chunked upstream (the extraction path already routes them).
+    *
+    * Plan shape at 100 TB — the honest cost of exact-substring dedup is
+    * one (key, doc, pos) row PER TOKEN through a shuffle (the single-node
+    * reference design is a suffix array; a corpus-wide suffix array does
+    * not distribute, window-hash inversion does):
+    *  1. Windows pass: corpus scan → per-row window synthesis (HOF
+    *     transform, no explode of the heavy text) → partial/final
+    *     count+min aggregate on the 16-byte key. Map-side combine absorbs
+    *     hot boilerplate keys; only keys, never text, shuffle.
+    *  2. Duplicated-window occurrences re-derive on a second scan and join
+    *     the |dup-keys|-sized canon table (AQE broadcasts when small), then
+    *     collapse to per-doc removal-start lists — output-proportional,
+    *     bounded by actual duplication.
+    *  3. Rewrite pass: third corpus scan joins the per-doc removal lists
+    *     (small side) and filters tokens IN-ROW with an index HOF — no
+    *     token explode, no regroup shuffle of the corpus.
+    */
+  def dropDuplicatedSubstrings(documents: DataFrame,
+                               windowTokens: Int = 10): DataFrame = {
+    val W = windowTokens
+    require(W >= 2, s"windowTokens must be >= 2, got $W")
+    val scorable = col("text").isNotNull && length(trim(col("text"))) > 0
+    val toks = documents.where(scorable)
+      .withColumn("t", split(trim(col("text")), "[ \t\n\f\r]+"))
+    // window keys synthesized in-row (transform over start positions), so
+    // the corpus text never explodes; posexplode_outer + pos filter keeps
+    // InferFiltersFromGenerate from re-evaluating the synthesis (r02 fix)
+    def windows(df: DataFrame): DataFrame = df
+      .where(size(col("t")) >= W)
+      .select(col("doc_id"), posexplode_outer(
+        transform(sequence(lit(0), size(col("t")) - W),
+          p => md5(concat_ws(" ", slice(col("t"), p + 1, lit(W)))))
+      ).as(Seq("pos", "key")))
+      .where(col("pos").isNotNull)
+    val canon = windows(toks)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id") * 1000000L + col("pos")).as("c"))
+      .where(col("n") > 1)
+      .select(col("key"), col("c"))
+    val removalStarts = windows(toks).join(canon, Seq("key"))
+      .where(col("doc_id") * 1000000L + col("pos") =!= col("c"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("rpos"))
+    val rewritten = toks.join(removalStarts, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("rpos").isNull, col("t")).otherwise(
+        filter(col("t"), (_, i) =>
+          !exists(col("rpos"), p => p <= i && i < p + W))))
+      .where(size(col("kept")) > 0)
+    val out = rewritten
+      .withColumn("text", concat_ws(" ", col("kept")))
+      .drop("t", "rpos", "kept")
+    out.unionByName(documents.where(!scorable))
+  }
 }

@@ -345,6 +345,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.forall(_ == 0))
   }
 
+  test("exact-substring dedup: copies drop, shared blocks strip from non-canonical docs, short/null pass") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")           // canonical content
+    val cUnique = "c1 c2 " + (1 to 10).map(i => s"a$i").mkString(" ") + " c3"
+    val selfRep = (1 to 10).map(i => s"s$i").mkString(" ") + " filler " +
+      (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = docsDf(1L -> a, 2L -> a /* exact copy */, 3L -> cUnique,
+      4L -> "short doc only", 5L -> selfRep)
+      .unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(Row(6L, null: String)),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))))
+    val out = Dedup.dropDuplicatedSubstrings(df, 10).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains(a))                 // canonical doc untouched
+    assert(!out.contains(2L))                   // exact copy fully covered -> dropped
+    assert(out(3L).contains("c1 c2 c3"))        // shared block stripped, unique kept
+    assert(out(4L).contains("short doc only"))  // n < W: no windows, passes
+    assert(out(5L).contains((1 to 10).map(i => s"s$i").mkString(" ") + " filler"))
+    assert(out(6L).isEmpty)                     // null text passes unchanged
+    // determinism under repartitioning (canonical = global min (doc, pos))
+    val again = Dedup.dropDuplicatedSubstrings(df.repartition(7), 10).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(again == out)
+  }
+
   test("ngram jaccard pairs agree with direct computation") {
     val df = docsDf(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> "other words entirely")
     val got = Dedup.ngramJaccardPairs(df, 3, 0.3).collect()
