@@ -37,6 +37,9 @@ import org.apache.spark.sql.SparkSession
   *   [--drop-lines]                     // pipeline: line-level boilerplate
   *                                      // removal BEFORE near-dedup
   *   [--line-max-df 3]                  // pipeline: line doc-freq cap
+  *   [--drop-substr]                    // pipeline: exact-substring dedup
+  *                                      // after near-dedup (Lee et al.)
+  *   [--substr-window 50]               // pipeline: substring window tokens
   *   [--domain-cap N]                   // pipeline: mega-domain balancing —
   *                                      // keep at most N docs per doc-id
   *                                      // family (provenance domain)
@@ -78,6 +81,8 @@ object Main {
           m += "gopher" -> "true"; i += 1
         case "--drop-lines" =>
           m += "drop-lines" -> "true"; i += 1
+        case "--drop-substr" =>
+          m += "drop-substr" -> "true"; i += 1
         case "--redact" =>
           m += "redact" -> "true"; i += 1
         case flag if flag.startsWith("--") =>
@@ -117,7 +122,7 @@ object Main {
         new java.net.URI(output), spark.sparkContext.hadoopConfiguration)
       val dirs =
         if (opts.contains("pipeline"))
-          Seq("extract", "s1_exact", "s1b_lines", "s2_neardup", "s3_decontam",
+          Seq("extract", "s1_exact", "s1b_lines", "s2_neardup", "s2b_substr", "s3_decontam",
             "s3g_gopher", "s4_quality", "s4d_domain", "s4r_redact", "s4s_sample", "s5_pack",
             "_pipeline")
         else Seq("_lineage", "docs", "quarantine")
@@ -137,6 +142,8 @@ object Main {
         seqLen = opts.getOrElse("seq-len", "2048").toInt,
         dropLines = opts.contains("drop-lines"),
         lineMaxDocFreq = opts.getOrElse("line-max-df", "3").toInt,
+        substrDedup = opts.contains("drop-substr"),
+        substrWindow = opts.getOrElse("substr-window", "50").toInt,
         redact = opts.contains("redact"),
         domainCap = opts.get("domain-cap").map(_.toLong),
         sampleFractions = opts.get("sample").map(_.split(",").iterator.map { kv =>

@@ -34,6 +34,14 @@ final case class StageLineage(
   *                                               unrelated pages into
   *                                               near-dup clusters)
   *   ─▶ s2_neardup   dropNearDuplicates         (MinHash-LSH + CC closure)
+  *   ─▶ s2b_substr   dropDuplicatedSubstrings   (optional, --drop-substr:
+  *                                               exact-substring dedup AFTER
+  *                                               doc-level near-dedup, the
+  *                                               RefinedWeb order — stripping
+  *                                               shared spans first would
+  *                                               make near-dup docs look
+  *                                               dissimilar and defeat the
+  *                                               whole-doc drop)
   *   ─▶ s3_decontam  dropContaminated           (13-gram + short-item routes;
   *                                               skipped when no --benchmark)
   *   ─▶ s3g_gopher   gopherRules keep-gate       (optional, --gopher)
@@ -96,6 +104,11 @@ object Pipeline {
       seqLen: Int = 2048,
       dropLines: Boolean = false,
       lineMaxDocFreq: Int = 3,
+      // exact-substring dedup (stage off by default): window in tokens; 50
+      // is the published Lee-et-al. setting — short-doc corpora (this
+      // repo's fixtures) want a smaller window or the stage is a no-op
+      substrDedup: Boolean = false,
+      substrWindow: Int = 50,
       redact: Boolean = false,
       // mega-domain frequency cap (None = stage off): at most N docs per
       // provenance domain enter the training mix
@@ -244,6 +257,21 @@ object Pipeline {
     }
     current = s"${cfg.outPath}/s2_neardup"
     checkpoint("s2_neardup")
+
+    if (cfg.substrDedup) {
+      // AFTER doc-level near-dedup (the RefinedWeb order): near-dedup drops
+      // whole documents by their shared content — stripping duplicated
+      // spans first would erase exactly that signal and leave both
+      // near-dup docs alive with holes. On the survivors, this removes the
+      // sub-document duplication (licence blocks, quoted chunks) no
+      // doc-granularity pass can see.
+      rows += runStage(spark, cfg, "s2b_substr", Seq(current),
+        s"window=${cfg.substrWindow}") { in =>
+        Dedup.dropDuplicatedSubstrings(in, cfg.substrWindow)
+      }
+      current = s"${cfg.outPath}/s2b_substr"
+      checkpoint("s2b_substr")
+    }
 
     cfg.benchmarkPath.foreach { bench =>
       rows += runStage(spark, cfg, "s3_decontam", Seq(current, bench),

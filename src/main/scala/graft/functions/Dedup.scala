@@ -881,9 +881,10 @@ object Dedup {
     * trainer consumes); docs left with zero tokens drop; null/blank-text
     * docs pass unchanged (the unscorable-rows-pass contract). Window keys
     * are md5 of the joined window (16 bytes through the shuffle instead of
-    * a W-token string; both engines compute identical md5); canonical
-    * encoding `doc_id·10⁶ + pos` assumes docs under 10⁶ tokens — mega-docs
-    * should be chunked upstream (the extraction path already routes them).
+    * a W-token string; both engines compute identical md5); the canonical
+    * occurrence is `min(struct(doc_id, pos))` — lexicographic struct
+    * ordering, so any orderable id type (long, string, binary) works and
+    * no doc-length bound is assumed.
     *
     * Plan shape at 100 TB — the honest cost of exact-substring dedup is
     * one (key, doc, pos) row PER TOKEN through a shuffle (the single-node
@@ -921,11 +922,11 @@ object Dedup {
     val canon = windows(toks)
       .groupBy("key")
       .agg(count(lit(1)).as("n"),
-        min(col("doc_id") * 1000000L + col("pos")).as("c"))
+        min(struct(col("doc_id"), col("pos"))).as("c"))
       .where(col("n") > 1)
       .select(col("key"), col("c"))
     val removalStarts = windows(toks).join(canon, Seq("key"))
-      .where(col("doc_id") * 1000000L + col("pos") =!= col("c"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("c"))
       .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("rpos"))
     val rewritten = toks.join(removalStarts, Seq("doc_id"), "left")
       .withColumn("kept", when(col("rpos").isNull, col("t")).otherwise(
