@@ -269,6 +269,33 @@ object PlanAudit {
         sb ++= s"## t_unigram_nll EXECUTED adaptive plan (expect: the corpus-total branch (sum over token counts) reuses the vocab branch's token-count shuffle — ReusedExchange count = $reused; score pass joins the broadcast vocab + 1-row total, its only Exchange the per-doc agg)\n\n```\n$fin\n```\n\n"
       }
     }
+    locally {
+      // r06: exact-substring dedup — a 60-token block shared by two docs
+      // (plus unique affixes on the copy) makes 51 overlapping removal
+      // windows in doc 2; the shipped plan must (a) merge them into ONE
+      // coverage interval before the rewrite (payload and in-row filter
+      // scale with duplicated BLOCKS, not windows), and (b) keep the text
+      // out of every shuffle — the canon aggregate ships 16-byte md5 keys
+      // with partial/final (map-side combine absorbs hot boilerplate keys),
+      // and the interval merge (window + block agg + per-doc collect) all
+      // clusters on doc_id so it rides the removals' single exchange
+      val block = (1 to 60).map(i => s"b$i").mkString(" ")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val dd = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, block),
+        org.apache.spark.sql.Row(2L, "u1 u2 u3 " + block + " u4 u5")), schema)
+      val out = graft.functions.Dedup.dropDuplicatedSubstrings(dd, 10)
+      val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // the adaptive dump appends an "== Initial Plan ==" copy — count
+      // operators in the FINAL plan only
+      val fin = out.queryExecution.executedPlan.toString
+      val finalOnly = fin.split("== Initial Plan ==").head
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(finalOnly).length
+      val md5s = "md5\\(cast\\(concat_ws".r.findAllIn(finalOnly).length
+      sb ++= s"## d_drop_substr EXECUTED adaptive plan on a planted shared 60-token block (expect: canonical doc 1 untouched = '${got(1L).take(9)}…'; doc 2 strips EXACTLY the block — kept = '${got.getOrElse(2L, "<dropped>")}' — because its 51 overlapping removal windows merged into ONE [3,63) coverage interval (boundary-spanning windows are unique to doc 2, hence not duplicated, hence kept); final-plan hashpartitioning Exchanges = $hashEx: the md5-key canon aggregate + ONE doc_id exchange under the removals merge (lag window, block window, (doc_id,blk) agg and per-doc collect ALL cluster on doc_id — no exchange between them), while the per-doc interval lists reach the rewrite via BroadcastExchange; in-row window-synthesis md5 sites = $md5s — the canon sweep and the removals re-derive, each a posexplode over the transform (tokens never under the generate), the third (rewrite) sweep tokenizes only)\n\n```\n$fin\n```\n\n"
+    }
     sb ++= explainOf("s_ann_lsh (r01 #9 — expect: fused rhp_sig, band join ships ids only, norms per-row pre-join)",
       graft.functions.Similarity.lshTopK(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),

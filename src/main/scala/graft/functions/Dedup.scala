@@ -896,9 +896,15 @@ object Dedup {
     *     hot boilerplate keys; only keys, never text, shuffle.
     *  2. Duplicated-window occurrences re-derive on a second scan and join
     *     the |dup-keys|-sized canon table (AQE broadcasts when small), then
-    *     collapse to per-doc removal-start lists — output-proportional,
-    *     bounded by actual duplication.
-    *  3. Rewrite pass: third corpus scan joins the per-doc removal lists
+    *     collapse to per-doc COVERAGE INTERVALS: overlapping/adjacent
+    *     removal windows merge (lag + running block id + min/max per
+    *     block), so a contiguous duplicated block of any length costs ONE
+    *     (start, end) struct, not one entry per window — the payload and
+    *     the rewrite filter scale with duplicated BLOCKS, not tokens. The
+    *     window function, the block aggregate, and the per-doc collect all
+    *     cluster on doc_id, so the merge rides the single removals shuffle
+    *     (hashpartitioning(doc_id) satisfies every downstream clustering).
+    *  3. Rewrite pass: third corpus scan joins the per-doc interval lists
     *     (small side) and filters tokens IN-ROW with an index HOF — no
     *     token explode, no regroup shuffle of the corpus.
     */
@@ -925,17 +931,31 @@ object Dedup {
         min(struct(col("doc_id"), col("pos"))).as("c"))
       .where(col("n") > 1)
       .select(col("key"), col("c"))
-    val removalStarts = windows(toks).join(canon, Seq("key"))
+    val removals = windows(toks).join(canon, Seq("key"))
       .where(struct(col("doc_id"), col("pos")) =!= col("c"))
-      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("rpos"))
-    val rewritten = toks.join(removalStarts, Seq("doc_id"), "left")
-      .withColumn("kept", when(col("rpos").isNull, col("t")).otherwise(
+      .select(col("doc_id"), col("pos"))
+    // merge overlapping/adjacent windows into coverage intervals: sorted
+    // within doc, a start opens a new block iff it clears the previous
+    // window entirely (pos > prev + W ⇒ a ≥1-token gap survives between)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val intervals = removals
+      .withColumn("nb", when(col("pos") >
+        lag(col("pos"), 1, Int.MinValue).over(byDoc) + W, 1).otherwise(0))
+      .withColumn("blk", sum(col("nb")).over(byDoc))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + W).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("riv"))
+    val rewritten = toks.join(intervals, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("riv").isNull, col("t")).otherwise(
         filter(col("t"), (_, i) =>
-          !exists(col("rpos"), p => p <= i && i < p + W))))
+          !exists(col("riv"), iv =>
+            iv.getField("s") <= i && i < iv.getField("e")))))
       .where(size(col("kept")) > 0)
     val out = rewritten
       .withColumn("text", concat_ws(" ", col("kept")))
-      .drop("t", "rpos", "kept")
+      .drop("t", "riv", "kept")
     out.unionByName(documents.where(!scorable))
   }
 }
