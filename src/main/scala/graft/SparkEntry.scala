@@ -462,6 +462,13 @@ object SparkEntry {
     "t_lang" -> ((s, dir) => documents(s, dir)
       .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))),
     "t_pack" -> ((s, dir) => Packing.packSequences(documents(s, dir), 2048)),
+    // long-document context windows: 64-token chunks advancing 48 tokens
+    // (16-token overlap); tail always covered, no sub-range chunks
+    "t_chunk" -> ((s, dir) => Packing.chunkTokens(documents(s, dir), 64, 48)),
+    // deterministic salted-hash train/val/test assignment, per doc
+    "t_split" -> ((s, dir) => TextAnalysis.assignSplit(documents(s, dir),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))),
     "t_unigram_nll" -> ((s, dir) => TextAnalysis.unigramLogProb(documents(s, dir))),
     "t_quality_top" -> ((s, dir) => Packing.qualityTopFraction(documents(s, dir), 0.8)),
     "t_len_stats" -> ((s, dir) => documents(s, dir)
@@ -1089,6 +1096,27 @@ object SparkEntry {
         |  tok_start // 2048 AS seq_start,
         |  (tok_start + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) // 2048 AS seq_end
         |FROM o""".stripMargin,
+    "t_chunk" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |nn AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |st AS (SELECT doc_id, unnest(range(0, (n - 64) // 48 + 1)) * 48 AS s
+        |    FROM nn WHERE n > 64
+        |  UNION SELECT doc_id, n - 64 FROM nn WHERE n > 64
+        |  UNION ALL SELECT doc_id, 0 FROM nn WHERE n <= 64)
+        |SELECT st.doc_id,
+        |  CAST(row_number() OVER (PARTITION BY st.doc_id ORDER BY s) - 1 AS INTEGER) AS chunk_idx,
+        |  CAST(least(n, 64) AS INTEGER) AS n_tokens,
+        |  array_to_string(t[s + 1 : s + 64], ' ') AS text
+        |FROM st JOIN nn ON st.doc_id = nn.doc_id""".stripMargin,
+    "t_split" ->
+      // cumulative 65536-bucket thresholds: round(0.9*65536)=58982=e666,
+      // round(0.95*65536)=62259=f333; salted "|split" exactly as the Spark op
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4) < 'e666' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4) < 'f333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "t_lang" ->
       s"""WITH c AS (SELECT doc_id,
          |  len(list_filter(string_split($normSql, ' '), t -> list_contains($enStop, t))) AS en,

@@ -197,4 +197,49 @@ object Packing {
         .select(col("doc_id"), col("quality")))
     }
   }
+
+  /** Context-window chunking: split each document's token stream into
+    * fixed `chunkSize`-token windows advancing by `stride` tokens
+    * (stride < chunkSize ⇒ overlapping windows — the standard long-document
+    * treatment when the trainer's context is shorter than the document).
+    *
+    * Window starts are `0, stride, 2·stride, …` while a FULL window fits
+    * (`s + chunkSize ≤ n`), plus a final start at `n − chunkSize` so the
+    * document's tail is always covered — and never a window that is a pure
+    * sub-range of an earlier one (the naive `while s < n` rule emits those).
+    * Documents at or under `chunkSize` tokens yield exactly one whole-doc
+    * chunk. `chunk_idx` numbers windows in stream order. Null/blank-text
+    * docs have no token stream and are dropped (this is a trainer-input
+    * transformation, not a keep/drop gate — the unscorable-rows-pass
+    * contract of the dedup/filter operators does not apply).
+    *
+    * Plan shape: ONE scan, zero shuffle — starts and slices are synthesized
+    * in-row (transform over the start sequence), then a single
+    * posexplode_outer + pos filter (the r02 generate discipline). Output is
+    * chunk-proportional; nothing else is materialized.
+    */
+  def chunkTokens(documents: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val scorable = col("text").isNotNull && length(trim(col("text"))) > 0
+    val toks = documents.where(scorable)
+      .withColumn("t", split(trim(col("text")), "[ \t\n\f\r]+"))
+    val n = size(col("t"))
+    val starts = when(n <= chunkSize, array(lit(0))).otherwise(
+      array_distinct(concat(
+        // int-typed floor division (array sizes, far below 2^31 — the
+        // packing offsets' `div`-past-2^53 concern does not arise here)
+        transform(sequence(lit(0), floor((n - chunkSize) / lit(stride)).cast("int")),
+          i => i * stride),
+        array(n - chunkSize))))
+    toks
+      .select(col("doc_id"), col("t"), posexplode_outer(
+        transform(starts, s => concat_ws(" ", slice(col("t"), s + 1, lit(chunkSize))))
+      ).as(Seq("chunk_idx", "chunk")))
+      .where(col("chunk_idx").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"),
+        least(size(col("t")), lit(chunkSize)).as("n_tokens"),
+        col("chunk").as("text"))
+  }
 }

@@ -242,6 +242,40 @@ object TextAnalysis {
     df.where(keep)
   }
 
+  /** Deterministic train/validation/test split assignment: each row gets a
+    * `split` label by hashing its key into the same 65536-bucket space as
+    * [[sampleHash]] and comparing against the weights' cumulative bucket
+    * thresholds. Properties a training pipeline needs and random split()
+    * does not give: stable under retries/resume/reshuffling (a doc's split
+    * is a pure function of its id), disjoint and exhaustive by
+    * construction, and new data lands in splits at the same proportions
+    * without moving any existing row. The hash is SALTED ("|split") so
+    * membership is independent of the sampler keep-predicate and the
+    * packing order key, which hash the same ids (the same-hash-correlation
+    * trap: unsalted, "test" would correlate with the sampler's drop set).
+    * One scan, zero shuffle, pure codegen predicate. Weights must sum to 1
+    * (±1e-9); the last split absorbs the rounding remainder buckets. */
+  def assignSplit(df: DataFrame, weights: Seq[(String, Double)],
+                  keyCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      s"weights must be non-empty and non-negative: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate split names: $weights")
+    val h = substring(md5(concat(col(keyCol).cast("string"), lit("|split"))), 1, 4)
+    val ends = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(math.round(c * 65536).toInt, 65536))
+    val label = weights.zip(ends).init.foldRight(lit(weights.last._1): Column) {
+      // same %04x equal-length guard as sampleHash: a cumulative end of
+      // 65536 renders as the 5-char "10000" and would break the compare
+      case (((name, _), end), acc) =>
+        val hit = if (end >= 65536) lit(true) else h < lit(f"$end%04x")
+        when(hit, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Top-k most frequent tokens per language — corpus vocabulary QA (spot
     * tokenizer damage, boilerplate takeover, language mislabels). Plan: one
     * explode + partial/final count aggregate (map-side combine absorbs the

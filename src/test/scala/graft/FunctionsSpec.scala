@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, RollingHash64, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Packing, RollingHash64, Similarity, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -367,6 +367,54 @@ class FunctionsSpec extends AnyFunSuite {
     val again = Dedup.dropDuplicatedSubstrings(df.repartition(7), 10).collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(again == out)
+  }
+
+  test("context-window chunking: full coverage, stride overlap, no sub-range chunks, short/null docs") {
+    val doc100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = docsDf(1L -> doc100, 2L -> "tiny doc", 3L -> ("  " + "x " * 64).trim)
+      .unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(Row(4L, null: String)),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))))
+    val got = Packing.chunkTokens(df, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    // doc 1 (100 tokens): starts 0 (full) and 36 (=100-64 tail), NOT 48
+    // (48+64 > 100 — a start there would be a sub-range of the tail chunk)
+    assert(got.keySet.filter(_._1 == 1L) == Set(1L -> 0, 1L -> 1))
+    assert(got(1L -> 0)._2 == (1 to 64).map(i => s"w$i").mkString(" "))
+    assert(got(1L -> 1)._2 == (37 to 100).map(i => s"w$i").mkString(" "))
+    assert(got(1L -> 0)._1 == 64 && got(1L -> 1)._1 == 64)
+    // doc 2 under the chunk size: one whole-doc chunk with its true count
+    assert(got(2L -> 0) == (2, "tiny doc"))
+    // doc 3 exactly 64 tokens: one chunk, no empty second window
+    assert(got.keySet.filter(_._1 == 3L) == Set(3L -> 0))
+    // null-text doc has no token stream: dropped
+    assert(!got.keySet.exists(_._1 == 4L))
+    // every token of doc 1 appears in some chunk (coverage)
+    val covered = got.collect { case ((1L, _), (_, txt)) => txt.split(" ") }.flatten.toSet
+    assert((1 to 100).forall(i => covered.contains(s"w$i")))
+  }
+
+  test("split assignment: disjoint, exhaustive, deterministic, independent of the sampler hash") {
+    val df = docsDf((1L to 2000L).map(i => i -> s"doc $i content"): _*)
+    val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val got = TextAnalysis.assignSplit(df, w).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000) // exhaustive: every row labeled
+    val bySplit = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // proportions near the weights (binomial tolerance at n=2000)
+    assert(bySplit("train") > 1700 && bySplit("val") > 50 && bySplit("test") > 50)
+    // stable under repartition
+    val again = TextAnalysis.assignSplit(df.repartition(13), w)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+    // salted: test-split membership is NOT the sampler's drop set (the
+    // same-hash-correlation trap) — at fraction 0.95 the sampler keeps
+    // most of val+test rather than dropping exactly them
+    val kept = TextAnalysis.sampleStratified(df.withColumn("lang", lit("en")),
+      "lang", Map("en" -> 0.95)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val nonTrain = got.collect { case (id, s) if s != "train" => id }.toSet
+    assert(nonTrain.count(kept.contains).toDouble / nonTrain.size > 0.8)
   }
 
   test("ngram jaccard pairs agree with direct computation") {
