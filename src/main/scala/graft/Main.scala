@@ -40,6 +40,10 @@ import org.apache.spark.sql.SparkSession
   *   [--drop-substr]                    // pipeline: exact-substring dedup
   *                                      // after near-dedup (Lee et al.)
   *   [--substr-window 50]               // pipeline: substring window tokens
+  *   [--chunk-size N]                   // pipeline: context-window chunking
+  *                                      // just before packing
+  *   [--chunk-stride N]                 // pipeline: chunk advance (default
+  *                                      // = chunk-size, i.e. no overlap)
   *   [--domain-cap N]                   // pipeline: mega-domain balancing —
   *                                      // keep at most N docs per doc-id
   *                                      // family (provenance domain)
@@ -123,8 +127,8 @@ object Main {
       val dirs =
         if (opts.contains("pipeline"))
           Seq("extract", "s1_exact", "s1b_lines", "s2_neardup", "s2b_substr", "s3_decontam",
-            "s3g_gopher", "s4_quality", "s4d_domain", "s4r_redact", "s4s_sample", "s5_pack",
-            "_pipeline")
+            "s3g_gopher", "s4_quality", "s4d_domain", "s4r_redact", "s4s_sample",
+            "s4m_mix", "s4c_chunk", "s5_pack", "_pipeline")
         else Seq("_lineage", "docs", "quarantine")
       dirs.foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$output/$d"), true))
@@ -156,6 +160,8 @@ object Main {
           k.trim -> v.trim.toDouble
         }.toMap).getOrElse(Map.empty),
         mixBudget = opts.get("mix-budget").map(_.toLong),
+        chunkSize = opts.get("chunk-size").map(_.toInt),
+        chunkStride = opts.get("chunk-stride").map(_.toInt),
         format = opts.getOrElse("format", "parquet"))
       val stages = Pipeline.run(spark, cfg)
       stages.foreach(s => println(

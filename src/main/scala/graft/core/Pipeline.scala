@@ -65,6 +65,15 @@ final case class StageLineage(
   *                                               LAST filter, it defines the
   *                                               final mix and drops
   *                                               untargeted domains)
+  *   ─▶ s4c_chunk    chunkTokens                (optional, --chunk-size
+  *                                               [--chunk-stride]: split
+  *                                               long docs into overlapping
+  *                                               context windows LAST
+  *                                               before packing — every
+  *                                               upstream gate scores whole
+  *                                               documents, and the mixer's
+  *                                               token masses must not
+  *                                               count overlap twice)
   *   ─▶ s5_pack      packSequences              (two-level prefix sum)
   * }}}
   *
@@ -122,6 +131,10 @@ object Pipeline {
       // target token share per provenance domain + total token budget
       mixTargets: Map[String, Double] = Map.empty,
       mixBudget: Option[Long] = None,
+      // context-window chunking (None = stage off): split docs longer than
+      // chunkSize tokens into overlapping windows just before packing
+      chunkSize: Option[Int] = None,
+      chunkStride: Option[Int] = None,
       // storage seam: the format every stage table and lineage row is
       // written/read with (DocStore) — parquet locally, iceberg where its
       // runtime exists
@@ -366,6 +379,22 @@ object Pipeline {
       }
       current = s"${cfg.outPath}/s4m_mix"
       checkpoint("s4m_mix")
+    }
+
+    cfg.chunkSize.foreach { size =>
+      // LAST transform before packing: upstream gates score whole docs and
+      // the mixer's token masses must not count window overlap twice.
+      // Chunk ids extend the doc id ("<doc_id>#<chunk_idx>") so provenance
+      // prefixes keep parsing and packing keys stay unique per row.
+      val stride = cfg.chunkStride.getOrElse(size)
+      rows += runStage(spark, cfg, "s4c_chunk", Seq(current),
+        s"size=$size,stride=$stride") { in =>
+        Packing.chunkTokens(in, size, stride)
+          .select(concat(col("doc_id"), lit("#"), col("chunk_idx")).as("doc_id"),
+            col("text"))
+      }
+      current = s"${cfg.outPath}/s4c_chunk"
+      checkpoint("s4c_chunk")
     }
 
     rows += runStage(spark, cfg, "s5_pack", Seq(current),

@@ -151,7 +151,8 @@ class PipelineSpec extends AnyFunSuite {
     rmrf(out)
     val fcfg = cfg(out).copy(dropLines = true, lineMaxDocFreq = 2,
       substrDedup = true, substrWindow = 8,
-      domainCap = Some(2L), redact = true, sampleDefault = 0.4)
+      domainCap = Some(2L), redact = true, sampleDefault = 0.4,
+      chunkSize = Some(16), chunkStride = Some(12))
     // run 1: killed right after the redact stage commits
     intercept[RuntimeException] {
       Pipeline.run(spark, fcfg, failAfter = Some("s4r_redact"))
@@ -161,7 +162,7 @@ class PipelineSpec extends AnyFunSuite {
     val stages = Pipeline.run(spark, fcfg)
     assert(stages.map(_.stage) == Seq("extract", "s1_exact", "s1b_lines",
       "s2_neardup", "s2b_substr", "s3_decontam", "s4_quality", "s4d_domain",
-      "s4r_redact", "s4s_sample", "s5_pack"))
+      "s4r_redact", "s4s_sample", "s4c_chunk", "s5_pack"))
     val byName = stages.map(s => s.stage -> s).toMap
     // line stage: row-preserving unless a doc was ALL boilerplate
     assert(byName("s1b_lines").rows_out <= byName("s1b_lines").rows_in)
@@ -183,7 +184,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(byName("s4r_redact").rows_out == byName("s4r_redact").rows_in)
     val sm = byName("s4s_sample")
     assert(sm.rows_out < sm.rows_in && sm.rows_out > 0)
-    assert(byName("s5_pack").rows_out == sm.rows_out)
+    // chunking: row-multiplying (long docs fan out), packing covers chunks;
+    // chunk ids extend the doc id so provenance prefixes keep parsing
+    val ck = byName("s4c_chunk")
+    assert(ck.rows_in == sm.rows_out && ck.rows_out >= ck.rows_in)
+    assert(byName("s5_pack").rows_out == ck.rows_out)
+    val chunkIds = spark.read.parquet(s"$out/s4c_chunk").select("doc_id")
+      .collect().map(_.getString(0))
+    assert(chunkIds.nonEmpty && chunkIds.forall(_.matches("doc-[a-z]+-.*#\\d+")))
+    assert(chunkIds.length == chunkIds.distinct.length)
     // kill/resume parity: identical output to an uninterrupted run
     val freshOut = "/tmp/graft_pipeline_full_fresh"
     rmrf(freshOut)
@@ -205,7 +214,7 @@ class PipelineSpec extends AnyFunSuite {
       "s4_quality", "s4d_domain", "s4r_redact").foreach { s =>
       assert(third.find(_.stage == s).get.committed_at == f(s), s)
     }
-    Seq("s4s_sample", "s5_pack").foreach { s =>
+    Seq("s4s_sample", "s4c_chunk", "s5_pack").foreach { s =>
       assert(third.find(_.stage == s).get.committed_at != f(s), s)
     }
   }
