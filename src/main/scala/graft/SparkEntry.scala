@@ -586,6 +586,12 @@ object SparkEntry {
       import s.implicits._
       Dedup.dropRepeatedLines(LineFixture.rows.toDF("doc_id", "text"), 3)
     }),
+    // keep-first paragraph dedup (Dolma-style): later occurrences of a
+    // duplicated paragraph drop, the canonical min-(doc,pos) copy stays
+    "d_drop_paras" -> ((s, _) => {
+      import s.implicits._
+      Dedup.dropDuplicateParagraphs(LineFixture.rows.toDF("doc_id", "text"))
+    }),
     // exact-substring dedup (Lee et al.): duplicated 10-token spans removed
     // from every non-canonical occurrence; fully-duplicated docs drop
     "d_drop_substr" -> ((s, dir) =>
@@ -1170,6 +1176,23 @@ object SparkEntry {
          |keep AS (SELECT doc_id, pos, line FROM p WHERE line NOT IN (SELECT line FROM bad))
          |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
          |FROM keep GROUP BY doc_id
+         |UNION ALL SELECT doc_id, text FROM ${LineFixture.valuesSql} WHERE text IS NULL""".stripMargin,
+    "d_drop_paras" ->
+      // canonical arithmetic doc_id*1e6+pos is oracle-side only (fixture
+      // ids are small ints); the Spark op orders min(struct(doc_id, pos))
+      s"""WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+         |  FROM ${LineFixture.valuesSql} WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS pos, UNNEST(ls) AS para FROM t),
+         |c AS (SELECT doc_id, pos, para FROM p WHERE trim(para) <> ''),
+         |canon AS (SELECT para, min(doc_id * 1000000 + pos) AS cid
+         |  FROM c GROUP BY para HAVING count(*) > 1),
+         |rem AS (SELECT c.doc_id, c.pos FROM c JOIN canon USING (para)
+         |  WHERE c.doc_id * 1000000 + c.pos <> canon.cid),
+         |keep AS (SELECT p.doc_id, p.pos, p.para FROM p WHERE NOT EXISTS (
+         |  SELECT 1 FROM rem r WHERE r.doc_id = p.doc_id AND r.pos = p.pos))
+         |SELECT doc_id, array_to_string(list(para ORDER BY pos), chr(10)) AS text
+         |FROM keep GROUP BY doc_id
+         |HAVING max(CASE WHEN trim(para) <> '' THEN 1 ELSE 0 END) = 1
          |UNION ALL SELECT doc_id, text FROM ${LineFixture.valuesSql} WHERE text IS NULL""".stripMargin,
     "d_drop_substr" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS t

@@ -145,6 +145,53 @@ object Dedup {
       .unionByName(documents.where(col("text").isNull).select(col("doc_id"), col("text")))
   }
 
+  /** Duplicate-paragraph removal with KEEP-FIRST semantics (the Dolma/CCNet
+    * paragraph dedup): every paragraph whose exact text occurs at ≥ 2
+    * (doc, pos) sites keeps only its canonical `min(struct(doc_id, pos))`
+    * occurrence. The granularity gap this fills: [[dropRepeatedLines]] is a
+    * doc-frequency CAP that deletes boilerplate from EVERY document (nav
+    * bars, footers — content you want zero copies of), while this keeps
+    * exactly ONE copy — the right call when the duplicated paragraph is
+    * content (syndicated article paragraphs, quoted passages) that the
+    * corpus should still teach once. [[dropDuplicatedSubstrings]] is the
+    * sub-paragraph version of the same keep-first idea at token-window
+    * granularity.
+    *
+    * Keys are md5, not xxhash64: the line df-cap tolerates 64-bit
+    * collisions (a collision only nudges a count), but a keep-first dedup
+    * acting on a collided key would DROP unrelated content — at 10^12
+    * paragraphs the 64-bit birthday bound expects thousands of collisions,
+    * 128 bits makes the expectation ≪ 1. Blank paragraphs are structure,
+    * not content: never deduped, preserved through reassembly. Docs whose
+    * every non-blank paragraph drops vanish; null-text docs pass through
+    * (the unscorable-rows contract).
+    *
+    * Plan shape: paragraphs ship (16-byte key, doc, pos) through ONE
+    * aggregate shuffle (map-side combine absorbs viral paragraphs); the
+    * non-canonical occurrence set is output-proportional and anti-joins
+    * back; reassembly is the per-doc collect the line path already uses. */
+  def dropDuplicateParagraphs(documents: DataFrame, sep: String = "\n"): DataFrame = {
+    val paras = documents.where(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), sep)).as(Seq("pos", "para")))
+    val content = paras.where(trim(col("para")) =!= "")
+      .select(col("doc_id"), col("pos"), md5(col("para")).as("ph"))
+    val canon = content.groupBy("ph")
+      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("c"))
+      .where(col("n") > 1).select(col("ph"), col("c"))
+    val removals = content.join(canon, Seq("ph"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("c"))
+      .select(col("doc_id"), col("pos"))
+    paras.join(removals, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("text"),
+        max(when(trim(col("para")) =!= "", 1).otherwise(0)).as("has_content"))
+      .where(col("has_content") === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(documents.where(col("text").isNull).select(col("doc_id"), col("text")))
+  }
+
   /** End-to-end near-dedup — the PRIMARY entry point, routed to the
     * component-closure LSH composition ([[dropNearDuplicatesCCLsh]]): greedy
     * single-hop dedup under-merges chains (a~b, b~c with a!~c candidate-wise

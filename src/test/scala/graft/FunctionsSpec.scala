@@ -369,6 +369,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("paragraph dedup keep-first: canonical copy survives, later copies drop, blanks preserved, all-dup docs vanish") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "shared para\nunique one"),
+      Row(2L, "shared para\nunique two\n\nshared tail"),
+      Row(3L, "shared para\nshared tail"), // all content duplicated -> vanishes
+      Row(4L, null: String)),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got = Dedup.dropDuplicateParagraphs(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("shared para\nunique one"))      // canonical kept
+    assert(got(2L).contains("unique two\n\nshared tail"))    // copy dropped, blank + canonical tail kept
+    assert(!got.contains(3L))                                // nothing left
+    assert(got(4L).isEmpty)                                  // null passes
+    // determinism under repartitioning (canonical = global min (doc, pos))
+    val again = Dedup.dropDuplicateParagraphs(df.repartition(5)).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(again == got)
+  }
+
   test("context-window chunking: full coverage, stride overlap, no sub-range chunks, short/null docs") {
     val doc100 = (1 to 100).map(i => s"w$i").mkString(" ")
     val df = docsDf(1L -> doc100, 2L -> "tiny doc", 3L -> ("  " + "x " * 64).trim)
