@@ -296,6 +296,13 @@ object PlanAudit {
       val md5s = "md5\\(cast\\(concat_ws".r.findAllIn(finalOnly).length
       sb ++= s"## d_drop_substr EXECUTED adaptive plan on a planted shared 60-token block (expect: canonical doc 1 untouched = '${got(1L).take(9)}…'; doc 2 strips EXACTLY the block — kept = '${got.getOrElse(2L, "<dropped>")}' — because its 51 overlapping removal windows merged into ONE [3,63) coverage interval (boundary-spanning windows are unique to doc 2, hence not duplicated, hence kept); final-plan hashpartitioning Exchanges = $hashEx: the md5-key canon aggregate + ONE doc_id exchange under the removals merge (lag window, block window, (doc_id,blk) agg and per-doc collect ALL cluster on doc_id — no exchange between them), while the per-doc interval lists reach the rewrite via BroadcastExchange; in-row window-synthesis md5 sites = $md5s — the canon sweep and the removals re-derive, each a posexplode over the transform (tokens never under the generate), the third (rewrite) sweep tokenizes only)\n\n```\n$fin\n```\n\n"
     }
+    sb ++= explainOf("t_chunk (r06 — expect: ONE scan, ZERO exchange: chunk starts + slices synthesized in-row (transform over the start sequence) then a single posexplode_outer with the pos filter above its Generate; output is chunk-proportional)",
+      graft.functions.Packing.chunkTokens(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 64, 48))
+    sb ++= explainOf("t_split (r06 — expect: single scan + project, NO exchange; the salted-md5 cumulative-threshold CASE is a pure codegen expression inside the scan's WholeStageCodegen)",
+      graft.functions.TextAnalysis.assignSplit(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
     sb ++= explainOf("s_ann_lsh (r01 #9 — expect: fused rhp_sig, band join ships ids only, norms per-row pre-join)",
       graft.functions.Similarity.lshTopK(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where($"vec_id" < 20),
