@@ -166,30 +166,35 @@ object Dedup {
     * every non-blank paragraph drops vanish; null-text docs pass through
     * (the unscorable-rows contract).
     *
-    * Plan shape: paragraphs ship (16-byte key, doc, pos) through ONE
-    * aggregate shuffle (map-side combine absorbs viral paragraphs); the
-    * non-canonical occurrence set is output-proportional and anti-joins
-    * back; reassembly is the per-doc collect the line path already uses. */
+    * Plan shape (the [[dropDuplicatedSubstrings]] rewrite pattern, NOT the
+    * line path's explode-and-regroup — that form reshuffles the whole
+    * corpus text to reassemble): paragraphs ship (16-byte key, doc, pos)
+    * through ONE aggregate shuffle (map-side combine absorbs viral
+    * paragraphs); the non-canonical occurrence set is output-proportional,
+    * collapses to small per-doc position lists, and the rewrite filters
+    * paragraphs IN-ROW on a second scan — document text never enters any
+    * exchange. */
   def dropDuplicateParagraphs(documents: DataFrame, sep: String = "\n"): DataFrame = {
-    val paras = documents.where(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(split(col("text"), sep)).as(Seq("pos", "para")))
-    val content = paras.where(trim(col("para")) =!= "")
+    val scorable = col("text").isNotNull
+    val split_ = split(col("text"), sep)
+    val content = documents.where(scorable)
+      .select(col("doc_id"), posexplode(split_).as(Seq("pos", "para")))
+      .where(trim(col("para")) =!= "")
       .select(col("doc_id"), col("pos"), md5(col("para")).as("ph"))
     val canon = content.groupBy("ph")
       .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("c"))
       .where(col("n") > 1).select(col("ph"), col("c"))
     val removals = content.join(canon, Seq("ph"))
       .where(struct(col("doc_id"), col("pos")) =!= col("c"))
-      .select(col("doc_id"), col("pos"))
-    paras.join(removals, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(concat_ws(sep,
-        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
-          s => s.getField("para"))).as("text"),
-        max(when(trim(col("para")) =!= "", 1).otherwise(0)).as("has_content"))
-      .where(col("has_content") === 1)
-      .select(col("doc_id"), col("text"))
-      .unionByName(documents.where(col("text").isNull).select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("rpos"))
+    documents.where(scorable)
+      .join(removals, Seq("doc_id"), "left")
+      .withColumn("t", split_)
+      .withColumn("kept", when(col("rpos").isNull, col("t")).otherwise(
+        filter(col("t"), (_, i) => !array_contains(col("rpos"), i))))
+      .where(exists(col("kept"), p => trim(p) =!= ""))
+      .select(col("doc_id"), concat_ws(sep, col("kept")).as("text"))
+      .unionByName(documents.where(!scorable).select(col("doc_id"), col("text")))
   }
 
   /** End-to-end near-dedup — the PRIMARY entry point, routed to the
