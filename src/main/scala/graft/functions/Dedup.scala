@@ -130,19 +130,30 @@ object Dedup {
     * only all-boilerplate docs vanish, by design. */
   def dropRepeatedLines(documents: DataFrame, maxDocFreq: Int = 3): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val lines = documents.where(col("text").isNotNull)
+    // r06 rework to the substring/paragraph rewrite pattern: the original
+    // form anti-joined the exploded (pos, line TEXT) rows and regrouped per
+    // doc — reshuffling the whole corpus text to reassemble it. Now only
+    // 8-byte line hashes + positions go through exchanges; the removal set
+    // is boilerplate-proportional, collapses to per-doc position lists, and
+    // a second scan drops lines IN-ROW.
+    val scorable = col("text").isNotNull
+    val lines = documents.where(scorable)
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", xxhash64(col("line")))
-    val bad = lines.where(trim(col("line")) =!= "")
-      .select(col("lh"), col("doc_id")).distinct()
+      .where(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+    val bad = lines.select(col("lh"), col("doc_id")).distinct()
       .groupBy("lh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select(col("lh"))
-    lines.join(bad, Seq("lh"), "left_anti")
-      .groupBy("doc_id")
-      .agg(concat_ws("\n",
-        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line"))).as("text"))
-      .unionByName(documents.where(col("text").isNull).select(col("doc_id"), col("text")))
+    val removals = lines.join(bad, Seq("lh"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("rpos"))
+    documents.where(scorable)
+      .join(removals, Seq("doc_id"), "left")
+      .withColumn("t", split(col("text"), "\n"))
+      .withColumn("kept", when(col("rpos").isNull, col("t")).otherwise(
+        filter(col("t"), (_, i) => !array_contains(col("rpos"), i))))
+      .where(size(col("kept")) > 0) // all-boilerplate docs (no blanks left) vanish
+      .select(col("doc_id"), concat_ws("\n", col("kept")).as("text"))
+      .unionByName(documents.where(!scorable).select(col("doc_id"), col("text")))
   }
 
   /** Duplicate-paragraph removal with KEEP-FIRST semantics (the Dolma/CCNet
