@@ -296,6 +296,21 @@ object PlanAudit {
       val md5s = "md5\\(cast\\(concat_ws".r.findAllIn(finalOnly).length
       sb ++= s"## d_drop_substr EXECUTED adaptive plan on a planted shared 60-token block (expect: canonical doc 1 untouched = '${got(1L).take(9)}…'; doc 2 strips EXACTLY the block — kept = '${got.getOrElse(2L, "<dropped>")}' — because its 51 overlapping removal windows merged into ONE [3,63) coverage interval (boundary-spanning windows are unique to doc 2, hence not duplicated, hence kept); final-plan hashpartitioning Exchanges = $hashEx: the md5-key canon aggregate + ONE doc_id exchange under the removals merge (lag window, block window, (doc_id,blk) agg and per-doc collect ALL cluster on doc_id — no exchange between them), while the per-doc interval lists reach the rewrite via BroadcastExchange; in-row window-synthesis md5 sites = $md5s — the canon sweep and the removals re-derive, each a posexplode over the transform (tokens never under the generate), the third (rewrite) sweep tokenizes only)\n\n```\n$fin\n```\n\n"
     }
+    locally {
+      // r06 rework proof for the line/paragraph keep-first rewrites: the
+      // corpus TEXT must never enter an exchange — every hashpartitioning
+      // below operates on (hash, doc, pos) or per-doc position lists
+      val nl = spark.range(200).selectExpr("id AS doc_id",
+        "concat('join our newsletter', chr(10), 'unique line ', id, chr(10), 'copyright corp') AS text")
+      val dl = graft.functions.Dedup.dropRepeatedLines(nl, 3)
+      dl.collect()
+      val finL = dl.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val textEx = "Exchange hashpartitioning[^\\n]*\\n[^\\n]*(line|text)#".r.findAllIn(finL).length
+      val dp = graft.functions.Dedup.dropDuplicateParagraphs(nl)
+      dp.collect()
+      val finP = dp.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      sb ++= s"## d_drop_lines / d_drop_paras EXECUTED plans after the r06 in-row rework (expect: NO exchange whose child carries a line/text column — shuffles move only 8/16-byte hashes, doc ids, positions, and per-doc removal lists; the rewrite filters lines/paragraphs in-row on a second scan; crude text-exchange regex hits = $textEx)\n\n```\n$finL\n```\n\n```\n$finP\n```\n\n"
+    }
     sb ++= explainOf("t_chunk (r06 — expect: ONE scan, ZERO exchange: chunk starts + slices synthesized in-row (transform over the start sequence) then a single posexplode_outer with the pos filter above its Generate; output is chunk-proportional)",
       graft.functions.Packing.chunkTokens(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 64, 48))
