@@ -273,7 +273,11 @@ object TextAnalysis {
         val hit = if (end >= 65536) lit(true) else h < lit(f"$end%04x")
         when(hit, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", label)
+    // a null key hashes to null, every threshold compare is null-false, and
+    // the row would silently land in the LAST split — label it null instead
+    // (callers decide; silent membership is the one wrong default)
+    df.withColumn("split",
+      when(col(keyCol).isNull, lit(null).cast("string")).otherwise(label))
   }
 
   /** Top-k most frequent tokens per language — corpus vocabulary QA (spot

@@ -434,6 +434,11 @@ class FunctionsSpec extends AnyFunSuite {
       "lang", Map("en" -> 0.95)).select("doc_id").collect().map(_.getLong(0)).toSet
     val nonTrain = got.collect { case (id, s) if s != "train" => id }.toSet
     assert(nonTrain.count(kept.contains).toDouble / nonTrain.size > 0.8)
+    // null key -> null label, never silent membership in the last split
+    val nulled = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null.asInstanceOf[java.lang.Long], "x")),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(TextAnalysis.assignSplit(nulled, w).select("split").head.isNullAt(0))
   }
 
   test("ngram jaccard pairs agree with direct computation") {
