@@ -413,6 +413,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert((1 to 100).forall(i => covered.contains(s"w$i")))
   }
 
+  test("chunking matches the reference model across the full geometry grid") {
+    // plain-Scala model of the documented start rule
+    def refChunks(n: Int, size: Int, stride: Int): Seq[Seq[Int]] = {
+      val starts = if (n <= size) Seq(0)
+      else ((0 to (n - size) / stride).map(_ * stride) :+ (n - size)).distinct
+      starts.map(s => (s until math.min(s + size, n)))
+    }
+    for ((size, stride) <- Seq((8, 8), (8, 5), (16, 3))) {
+      val docs = docsDf((1 to 40).map(n =>
+        n.toLong -> (0 until n).map(i => s"t$i").mkString(" ")): _*)
+      val got = Packing.chunkTokens(docs, size, stride).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))
+          .map(_.getString(3)).toSeq).toMap
+      (1 to 40).foreach { n =>
+        val want = refChunks(n, size, stride)
+          .map(_.map(i => s"t$i").mkString(" "))
+        assert(got(n.toLong) == want, s"n=$n size=$size stride=$stride")
+      }
+    }
+  }
+
   test("split assignment: disjoint, exhaustive, deterministic, independent of the sampler hash") {
     val df = docsDf((1L to 2000L).map(i => i -> s"doc $i content"): _*)
     val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
