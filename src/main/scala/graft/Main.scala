@@ -40,6 +40,8 @@ import org.apache.spark.sql.SparkSession
   *   [--drop-substr]                    // pipeline: exact-substring dedup
   *                                      // after near-dedup (Lee et al.)
   *   [--substr-window 50]               // pipeline: substring window tokens
+  *   [--drop-paras]                     // pipeline: keep-first paragraph
+  *                                      // dedup after near-dedup
   *   [--chunk-size N]                   // pipeline: context-window chunking
   *                                      // just before packing
   *   [--chunk-stride N]                 // pipeline: chunk advance (default
@@ -87,6 +89,8 @@ object Main {
           m += "drop-lines" -> "true"; i += 1
         case "--drop-substr" =>
           m += "drop-substr" -> "true"; i += 1
+        case "--drop-paras" =>
+          m += "drop-paras" -> "true"; i += 1
         case "--redact" =>
           m += "redact" -> "true"; i += 1
         case flag if flag.startsWith("--") =>
@@ -126,7 +130,7 @@ object Main {
         new java.net.URI(output), spark.sparkContext.hadoopConfiguration)
       val dirs =
         if (opts.contains("pipeline"))
-          Seq("extract", "s1_exact", "s1b_lines", "s2_neardup", "s2b_substr", "s3_decontam",
+          Seq("extract", "s1_exact", "s1b_lines", "s2_neardup", "s2b_substr", "s2p_paras", "s3_decontam",
             "s3g_gopher", "s4_quality", "s4d_domain", "s4r_redact", "s4s_sample",
             "s4m_mix", "s4c_chunk", "s5_pack", "_pipeline")
         else Seq("_lineage", "docs", "quarantine")
@@ -148,6 +152,7 @@ object Main {
         lineMaxDocFreq = opts.getOrElse("line-max-df", "3").toInt,
         substrDedup = opts.contains("drop-substr"),
         substrWindow = opts.getOrElse("substr-window", "50").toInt,
+        paraDedup = opts.contains("drop-paras"),
         redact = opts.contains("redact"),
         domainCap = opts.get("domain-cap").map(_.toLong),
         sampleFractions = opts.get("sample").map(_.split(",").iterator.map { kv =>

@@ -42,6 +42,11 @@ final case class StageLineage(
   *                                               make near-dup docs look
   *                                               dissimilar and defeat the
   *                                               whole-doc drop)
+  *   ─▶ s2p_paras    dropDuplicateParagraphs    (optional, --drop-paras:
+  *                                               keep-first paragraph dedup
+  *                                               — same post-near-dedup
+  *                                               placement and rationale as
+  *                                               s2b_substr)
   *   ─▶ s3_decontam  dropContaminated           (13-gram + short-item routes;
   *                                               skipped when no --benchmark)
   *   ─▶ s3g_gopher   gopherRules keep-gate       (optional, --gopher)
@@ -118,6 +123,8 @@ object Pipeline {
       // repo's fixtures) want a smaller window or the stage is a no-op
       substrDedup: Boolean = false,
       substrWindow: Int = 50,
+      // keep-first paragraph dedup (stage off by default)
+      paraDedup: Boolean = false,
       redact: Boolean = false,
       // mega-domain frequency cap (None = stage off): at most N docs per
       // provenance domain enter the training mix
@@ -284,6 +291,17 @@ object Pipeline {
       }
       current = s"${cfg.outPath}/s2b_substr"
       checkpoint("s2b_substr")
+    }
+
+    if (cfg.paraDedup) {
+      // keep-first content dedup at paragraph granularity — after
+      // near-dedup for the same reason as s2b_substr (stripping duplicated
+      // paragraphs first would hide the whole-doc near-dup signal)
+      rows += runStage(spark, cfg, "s2p_paras", Seq(current), "") { in =>
+        Dedup.dropDuplicateParagraphs(in)
+      }
+      current = s"${cfg.outPath}/s2p_paras"
+      checkpoint("s2p_paras")
     }
 
     cfg.benchmarkPath.foreach { bench =>

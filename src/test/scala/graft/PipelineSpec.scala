@@ -150,7 +150,7 @@ class PipelineSpec extends AnyFunSuite {
     val out = "/tmp/graft_pipeline_full"
     rmrf(out)
     val fcfg = cfg(out).copy(dropLines = true, lineMaxDocFreq = 2,
-      substrDedup = true, substrWindow = 8,
+      substrDedup = true, substrWindow = 8, paraDedup = true,
       domainCap = Some(2L), redact = true, sampleDefault = 0.4,
       chunkSize = Some(16), chunkStride = Some(12))
     // run 1: killed right after the redact stage commits
@@ -161,8 +161,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$out/s5_pack")))
     val stages = Pipeline.run(spark, fcfg)
     assert(stages.map(_.stage) == Seq("extract", "s1_exact", "s1b_lines",
-      "s2_neardup", "s2b_substr", "s3_decontam", "s4_quality", "s4d_domain",
-      "s4r_redact", "s4s_sample", "s4c_chunk", "s5_pack"))
+      "s2_neardup", "s2b_substr", "s2p_paras", "s3_decontam", "s4_quality",
+      "s4d_domain", "s4r_redact", "s4s_sample", "s4c_chunk", "s5_pack"))
     val byName = stages.map(s => s.stage -> s).toMap
     // line stage: row-preserving unless a doc was ALL boilerplate
     assert(byName("s1b_lines").rows_out <= byName("s1b_lines").rows_in)
@@ -170,7 +170,9 @@ class PipelineSpec extends AnyFunSuite {
     // substring stage: docs drop only when fully covered by duplicated
     // windows; downstream consumes exactly its survivors
     assert(byName("s2b_substr").rows_out <= byName("s2b_substr").rows_in)
-    assert(byName("s3_decontam").rows_in == byName("s2b_substr").rows_out)
+    assert(byName("s2p_paras").rows_in == byName("s2b_substr").rows_out)
+    assert(byName("s2p_paras").rows_out <= byName("s2p_paras").rows_in)
+    assert(byName("s3_decontam").rows_in == byName("s2p_paras").rows_out)
     // domain cap: no doc-id family exceeds the cap in the stage output,
     // and at least one family was actually capped on this corpus
     val dc = byName("s4d_domain")
@@ -210,8 +212,8 @@ class PipelineSpec extends AnyFunSuite {
     // changing a sampling parameter invalidates s4s_sample and s5_pack only
     val third = Pipeline.run(spark, fcfg.copy(sampleDefault = 0.5))
     val f = stages.map(s => s.stage -> s.committed_at).toMap
-    Seq("s1_exact", "s1b_lines", "s2_neardup", "s2b_substr", "s3_decontam",
-      "s4_quality", "s4d_domain", "s4r_redact").foreach { s =>
+    Seq("s1_exact", "s1b_lines", "s2_neardup", "s2b_substr", "s2p_paras",
+      "s3_decontam", "s4_quality", "s4d_domain", "s4r_redact").foreach { s =>
       assert(third.find(_.stage == s).get.committed_at == f(s), s)
     }
     Seq("s4s_sample", "s4c_chunk", "s5_pack").foreach { s =>
