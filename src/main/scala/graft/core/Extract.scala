@@ -163,7 +163,22 @@ object Extract {
                  metrics: Option[Metrics] = None): Dataset[Extracted] = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val chunks = raw.flatMap { rd =>
+    // r07: single-chunk documents (≤ maxSpansPerChunk spans — the 99.9 % of
+    // any real corpus; [[Chunker.split]] yields exactly one chunk iff
+    // `spans.length <= maxSpans`, since `indexed` is length-preserving) pay
+    // NEITHER shuffle: they ride the zero-shuffle [[run]] path, whose output
+    // is byte-identical to chunk-then-regroup for a single chunk (same
+    // `walk` over the offset-sorted body, same `reindex` densification, same
+    // quarantine format — the cross-mode output-equality gate in
+    // SparkExtractSpec holds this). Formerly every row — payload included —
+    // crossed both exchanges just to reassemble into itself. The routing
+    // predicate is a scan-level column filter; null-spans rows route to the
+    // multi-chunk path so their failure semantics are unchanged.
+    val single = org.apache.spark.sql.functions.col("spans").isNotNull &&
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("spans")) <= maxSpansPerChunk
+    val direct = run(raw.filter(single), metrics)
+    val multiRaw = raw.filter(!single)
+    val chunks = multiRaw.flatMap { rd =>
       metrics.foreach { m => m.docs.add(1); m.spansIn.add(rd.spans.length) }
       Chunker.split(rd, maxSpansPerChunk)
     }
@@ -182,7 +197,7 @@ object Extract {
         }
       }
     // shuffle 2 (the regroup): reassemble documents in chunk order
-    extracted.groupByKey(_.doc_id).mapGroups { (docId, it) =>
+    val multi = extracted.groupByKey(_.doc_id).mapGroups { (docId, it) =>
       val parts = it.toSeq.sortBy(_.chunk_id)
       parts.collectFirst { case c if c.error != null => c.error } match {
         case Some(err) =>
@@ -194,6 +209,7 @@ object Extract {
           Extracted(docId, spans, null)
       }
     }
+    direct.union(multi)
   }
 }
 

@@ -23,9 +23,12 @@ object Dedup {
     * Null-text docs have no fingerprint and are not comparable — they are
     * neither reported here nor dropped by [[dropExactDuplicates]]. */
   def exactDuplicates(documents: DataFrame): DataFrame =
-    documents
+    // null gate on text BEFORE the projection (fp is null iff text is null):
+    // the post-projection `fp IS NOT NULL` form re-evaluated md5+normalize
+    // per row in a Filter below the Project (r07 fix, see
+    // [[minHashNearDuplicates]]) and kept IsNotNull out of PushedFilters
+    documents.where(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .where(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .where(col("n_docs") > 1)
@@ -36,12 +39,16 @@ object Dedup {
     * equality would otherwise silently drop EVERY null-fp row — keeper
     * included. */
   def dropExactDuplicates(documents: DataFrame): DataFrame = {
-    val withFp = documents.withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val keepers = withFp.where(col("fp").isNotNull)
-      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    // null routing on text, not on the derived fp (equivalent — fp is null
+    // iff text is null — but the fp-based filters re-ran md5+normalize per
+    // row below the projection, and the null-branch filter paid a whole
+    // fingerprint sweep just to find the null-text rows; r07 fix)
+    val withFp = documents.where(col("text").isNotNull)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
     withFp.join(keepers, Seq("fp", "doc_id"), "left_semi")
-      .unionByName(withFp.where(col("fp").isNull))
       .drop("fp")
+      .unionByName(documents.where(col("text").isNull))
   }
 
   /** Cross-corpus exact dedup: drop every document whose content fingerprint
@@ -258,10 +265,16 @@ object Dedup {
     * superseded rounds are reclaimed by the ContextCleaner once the loop
     * drops its references.
     */
-  /** Symmetric deduplicated edge set of a pair table. */
+  /** Symmetric deduplicated edge set of a pair table. Single-pass (r07): the
+    * former two-select union evaluated the ENTIRE pair plan twice — for the
+    * exact-Jaccard source that was 2× of a 20+-scan candidate plan, the
+    * dominant cost of `d_cc_components` — where one explode of the
+    * (forward, reverse) struct pair emits the same row set from one eval. */
   private[graft] def ccEdges(pairs: DataFrame): DataFrame =
-    pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    pairs.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
 
   /** Label seed with round 1 pre-applied: when every label is still the
@@ -530,9 +543,17 @@ object Dedup {
     // spark.sharedState.cacheManager.clearCache() or an unpersist after the
     // consuming action (graft.MinhashAB does exactly this); left cached it
     // holds ~4 KB/doc of arrays for the session.
-    val preRaw = documents
+    // r07: the null gate is `text IS NOT NULL` BEFORE the projection, not
+    // `f IS NOT NULL` after it — the two are equivalent (the fused expr is a
+    // nullSafeEval UnaryExpression: null out iff null in), but the latter
+    // alias-substitutes into a Filter BELOW the sketch Project, evaluating
+    // the whole tokenize+shingle+hash sweep TWICE per row in every consumer
+    // branch (Filter has no cross-operator CSE with Project — seen in
+    // plans/r07/d_minhash_before.txt) and keeps IsNotNull out of the scan's
+    // PushedFilters.
+    val scorableDocs = documents.where(col("text").isNotNull)
+    val preRaw = scorableDocs
       .select(col("doc_id"), MinHashWithShinglesExpr(col("text"), numHashes, ngram).as("f"))
-      .where(col("f").isNotNull)
       .select(col("doc_id"), col("f.sig").as("sig"), col("f.sh").as("sh"))
     val pre = if (cacheSketch)
       preRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -566,18 +587,36 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // exact-Jaccard verification ONLY on the candidate set, via the
-    // PRECOMPUTED per-doc arrays (two more full-corpus evals of the fused
-    // expressions as the a/b branches shuffle on different keys — O(corpus)
-    // each). The r03 shape instead re-ran the fused sketch AND an
-    // interpreted word-shingle HOF per CANDIDATE PAIR SIDE: candidates grow
-    // superlinearly with corpus size (band collisions are pairwise), so at
-    // 20k bench docs that was millions of candidates × milliseconds of
+    // PRECOMPUTED per-doc arrays. The r03 shape re-ran the fused sketch AND
+    // an interpreted word-shingle HOF per CANDIDATE PAIR SIDE: candidates
+    // grow superlinearly with corpus size (band collisions are pairwise), so
+    // at 20k bench docs that was millions of candidates × milliseconds of
     // interpreted eval each — a multi-hour stall (caught live in the r04
     // pipeline run). O(corpus) beats O(candidates × doc_len) the moment
     // candidates exceed the corpus, which is exactly the regime LSH is for.
+    //
+    // r07: the two verify branches formerly re-ran the fused sketch over the
+    // FULL corpus each (the join probe sat ABOVE the sketch projection, so
+    // every row paid tokenize+shingle+hash only to fail the candidate-id
+    // probe). Now each branch semi-joins the corpus against the candidate-id
+    // set BELOW the sketch projection (built explicitly — the optimizer's
+    // LeftSemi pushdown does not dig under the projection+filter chain on
+    // its own), so the branch is a cheap scan + broadcast id probe with the
+    // sketch re-computed only for candidate docs. The candidate-id broadcast
+    // is bounded by the capped candidate set — the same small-side class as
+    // the hot set — and its banding subtree re-evaluation is absorbed by
+    // exchange reuse (the band aggregation's Exchange is identical across
+    // the cand and candIds consumers). With `cacheSketch` the verify reads
+    // the cached sketch instead; semantics unchanged either way.
+    val candIds = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val vf =
+      if (cacheSketch) pre.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      else scorableDocs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), MinHashWithShinglesExpr(col("text"), numHashes, ngram).as("f"))
+        .select(col("doc_id"), col("f.sig").as("sig"), col("f.sh").as("sh"))
     cand
-      .join(pre.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("sh").as("sh_a")), Seq("a"))
-      .join(pre.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("sh").as("sh_b")), Seq("b"))
+      .join(vf.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("sh").as("sh_a")), Seq("a"))
+      .join(vf.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / lit(numHashes.toDouble))
@@ -621,8 +660,27 @@ object Dedup {
                         maxDocFreq: Int = 100): DataFrame = {
     // one-pass fused shingle hashing: every downstream shuffle/intersection
     // keys on 8-byte longs, never on shingle strings (measured ~10x at sf0.1)
-    val sh = documents.select(col("doc_id"), ShingleHashExpr(col("text"), n).as("sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    //
+    // r07 restructure — THREE corpus sweeps total. The r06 shape consumed
+    // the shingle subtree from SIX branches (df aggregate, self-join x/y,
+    // n_hot semi join, sizes scan, fuzzy-verify a/b), which Catalyst could
+    // not canonicalize together: the executed plan carried 22 parquet scans
+    // of the corpus, each re-running the fused tokenize+shingle+hash
+    // expression (and d_cc_components paid the whole tree twice through
+    // ccEdges — 44 scans; see plans/r07/*_before.txt). Now:
+    //   sweep 1 — shingle document frequencies (count only, no member lists:
+    //             a web-scale stop-shingle's bucket must never materialize);
+    //   sweep 2 — under-cap bucket member lists (bounded by maxDocFreq) →
+    //             candidate pairs + |A∩B| synthesized IN-ROW per bucket,
+    //             the [[minHashNearDuplicates]] bucket-aggregation pattern —
+    //             no self-join, count per (a,b) = shared under-cap shingles;
+    //   sweep 3 — ONE doc-keyed aggregate carrying both the per-doc set size
+    //             and the (short) hot-shingle array, so the former fuzzy-
+    //             verify re-derivation of full shingle arrays is replaced by
+    //             pure hash-array arithmetic on the candidate set:
+    //             |A∩B|_true = ic + |hot_A ∩ hot_B| — same integers, same
+    //             doubles, same rounding as the full-array Jaccard.
+    val inv = documents.select(col("doc_id"), explode(ShingleHashExpr(col("text"), n)).as("g"))
     // document-frequency cap: shingle sets are distinct per doc, so count = df.
     // The cap is applied as a LEFT ANTI join against the HOT set (df > cap) —
     // the inverse of a keep-set semi join. The hot set is small by
@@ -634,51 +692,42 @@ object Dedup {
     // combine before the shuffle, never hot-spotting one reducer.
     val hot = inv.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select(col("g"))
-    val capped = inv.join(broadcast(hot), Seq("g"), "left_anti")
-    // Candidate pairs AND their intersection cardinality in one aggregation:
-    // the self-join emits one row per SHARED under-cap shingle, so
-    // count(*) per (a, b) IS |A∩B| over the capped sets (shingle sets are
-    // distinct per doc). The r03 shape deduped candidates and re-ran the
-    // fused shingle expression per CANDIDATE (2 × 1.1M full-text evals at
-    // sf0.1 for 512 final edges — measured as ~60% of d_cc_components);
-    // counting instead of deduping costs the same shuffle and makes the
-    // Jaccard pure arithmetic for every pair without hot shingles.
-    val ic = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // under-cap buckets (≤ maxDocFreq members each): candidate pairs and
+    // their intersection cardinality from ONE aggregation — each bucket
+    // emits its (least, greatest)-ordered member pairs in-row, and the
+    // count per (a, b) IS |A∩B| over the capped sets (each shared under-cap
+    // shingle contributes its pair exactly once)
+    val ids = col("ids")
+    val bucketPairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+    val ic = inv.join(broadcast(hot), Seq("g"), "left_anti")
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(ids) > 1)
+      .select(explode(bucketPairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("ic"))
-    // per-doc set sizes: n_all from the already-computed shingle array (scan
-    // only, no shuffle); n_hot only for the few docs that CONTAIN a hot
-    // shingle (map-side broadcast semi join, tiny aggregate)
-    val nHot = inv.join(broadcast(hot), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_all"))
-      .join(nHot, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_all"), coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+    // per-doc stats in ONE aggregate: total distinct-shingle count (inv rows
+    // per doc) + the doc's hot shingles (collect_list skips the nulls the
+    // `when` leaves for under-cap rows; bounded by the doc's own length)
+    val stats = inv
+      .join(broadcast(hot.withColumn("ih", lit(true))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_all"),
+        collect_list(when(col("ih"), col("g"))).as("hg"))
     val cand = ic
-      .join(sizes.select(col("doc_id").as("a"), col("n_all").as("na"), col("n_hot").as("ha")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n_all").as("nb"), col("n_hot").as("hb")), Seq("b"))
-      .withColumn("hmin", least(col("ha"), col("hb")))
-    // no hot shingles on either side → capped intersection IS the true
-    // intersection: Jaccard = ic / (|A| + |B| - ic), no array work at all
-    val exact = cand.where(col("hmin") === 0)
+      .join(stats.select(col("doc_id").as("a"), col("n_all").as("na"), col("hg").as("ha")), Seq("a"))
+      .join(stats.select(col("doc_id").as("b"), col("n_all").as("nb"), col("hg").as("hb")), Seq("b"))
+    // true intersection = shared under-cap (ic) + shared hot (array work on
+    // the SHORT per-doc hot arrays only — both empty for the common case);
+    // Jaccard = |A∩B| / (|A| + |B| − |A∩B|), identical integer arithmetic —
+    // hence bit-identical doubles — to the former full-array verify
+    cand
+      .withColumn("it", col("ic") + size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard",
-        round(col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"), 6))
+        round(col("it").cast("double") / (col("na") + col("nb") - col("it")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
-    // both docs contain hot shingles (rare by construction): the capped
-    // intersection is only a lower bound — prune with the achievable upper
-    // bound (all hmin hot shingles shared), then verify on the full arrays
-    val fuzzy = cand.where(col("hmin") > 0)
-      .where((col("ic") + col("hmin")).cast("double") /
-        greatest((col("na") + col("nb") - col("ic") - col("hmin")).cast("double"), lit(1.0))
-        >= threshold)
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
-    exact.unionByName(fuzzy)
   }
 
   // ----------------------------------------------------- decontamination
@@ -810,8 +859,12 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       shiftright(col("sig"), starts(i)).bitwiseAND(lit(mask))
     }
-    val sigs = documents.select(col("doc_id"), simHash(col("text")).as("sig"))
-      .where(col("sig").isNotNull)
+    // null gate on text BEFORE the projection (equivalent: the fused sig is
+    // null iff text is null) — the post-projection `sig IS NOT NULL` form
+    // alias-substituted into a Filter that re-ran the whole SimHash sweep
+    // per row below the Project (same r07 fix as [[minHashNearDuplicates]])
+    val sigs = documents.where(col("text").isNotNull)
+      .select(col("doc_id"), simHash(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("band_idx", "chunk")))
     // members sorted by doc_id (struct sort: doc_id is the leading field,
@@ -899,9 +952,14 @@ object Dedup {
       .select(explode(bucketEdges(ids, maxBandBucket)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    // norms computed ONCE per row here, never per candidate pair
+    // norms computed ONCE per row here, never per candidate pair; the
+    // candidate-id semi join (pushed below the projection, same r07 pattern
+    // as [[minHashNearDuplicates]]'s verify) keeps the norm eval — and the
+    // payload feeding the scoring joins — restricted to candidate vectors
+    val candIds = cand.select(explode(array(col("a"), col("b"))).as("vec_id")).distinct()
     val feats = embeddings.select(col("vec_id"), col("embedding"),
       graft.functions.L2NormExpr(col("embedding")).as("norm"))
+      .join(broadcast(candIds), Seq("vec_id"), "left_semi")
     val fa = feats.select(col("vec_id").as("a"), col("embedding").as("va"), col("norm").as("na"))
     val fb = feats.select(col("vec_id").as("b"), col("embedding").as("vb"), col("norm").as("nb"))
     cand.join(fa, "a").join(fb, "b")
