@@ -47,6 +47,9 @@ object NgramProbe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("ic"))
     (1 to 2).foreach { i => t(s"ic_$i") { println("  nc=" + ic.count()) } }
+    // explode-only (no pair aggregation): isolates the HOF pair synthesis
+    val exploded = buckets.select(explode(bucketPairs).as("p"))
+    (1 to 2).foreach { i => t(s"explode_only_$i") { noop(exploded) } }
     val stats = inv
       .join(broadcast(hot.withColumn("ih", lit(true))), Seq("g"), "left")
       .groupBy("doc_id")

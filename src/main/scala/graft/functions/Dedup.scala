@@ -477,15 +477,11 @@ object Dedup {
     * guard shared by every LSH band aggregation (MinHash, SimHash,
     * embedding-RHP). See [[minHashNearDuplicates]] for the full scale
     * rationale and the documented recall trade. */
-  private def bucketEdges(ids: Column, cap: Int): Column = {
-    val hub = array_min(ids)
-    val allPairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
-        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
-    val starEdges = transform(filter(ids, x => x =!= hub),
-      x => struct(hub.as("a"), x.as("b")))
-    when(size(ids) <= cap, allPairs).otherwise(starEdges)
-  }
+  private def bucketEdges(ids: Column, cap: Int): Column =
+    // r07: fused native synthesis ([[BucketPairsExpr]]) — the former nested
+    // transform/slice/flatten HOF chain paid an interpreted lambda dispatch
+    // per emitted pair element (HOFs never enter whole-stage codegen)
+    BucketPairsExpr(ids, cap)
 
   /** Hot-bucket observability (ADVICE r05: "quantify how often the recall
     * trade is actually exercised"): wraps a band-bucket aggregation in a
@@ -698,13 +694,13 @@ object Dedup {
     // count per (a, b) IS |A∩B| over the capped sets (each shared under-cap
     // shingle contributes its pair exactly once)
     val ids = col("ids")
-    val bucketPairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
-        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
     val ic = inv.join(broadcast(hot), Seq("g"), "left_anti")
       .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ids"))
       .where(size(ids) > 1)
-      .select(explode(bucketPairs).as("p"))
+      // uncapped (maxDocFreq bounds every bucket) fused pair synthesis —
+      // same (least, greatest) pair stream, native loop instead of the
+      // interpreted nested-transform HOF chain ([[BucketPairsExpr]])
+      .select(explode(BucketPairsExpr(ids, Int.MaxValue)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("ic"))
     // per-doc stats in ONE aggregate: total distinct-shingle count (inv rows
@@ -867,26 +863,21 @@ object Dedup {
       .select(col("doc_id"), simHash(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("band_idx", "chunk")))
-    // members sorted by doc_id (struct sort: doc_id is the leading field,
-    // unique within a bucket), so pairs come out (a < b)-ordered and
-    // element 1 IS the min-id hub
+    // fused pair synthesis over the (doc_id, sig) member structs
+    // ([[BucketPairsExpr]], r07): struct ordering is lexicographic and
+    // doc_id — unique within a bucket — leads, so pairs come out
+    // (a < b)-ordered and the star hub is the min-id member exactly as the
+    // former sort_array + positional-slice HOF chain produced (the sort
+    // itself is no longer needed; the expression orders each pair and finds
+    // the hub in one native loop instead of interpreted per-element lambdas)
     val ms = col("ms")
-    val hub = element_at(ms, 1)
-    val allPairs = flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + lit(2), size(ms) - i - lit(1)), y =>
-        struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
-          x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))
-    val starEdges = transform(slice(ms, lit(2), size(ms) - 1), y =>
-      struct(hub.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
-        hub.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))
     observeHotBuckets(
       banded.groupBy(col("band_idx"), col("chunk"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms")),
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms")),
       "simhash", size(ms), maxBandBucket)
-      .select(explode(when(size(ms) <= maxBandBucket, allPairs)
-        .otherwise(starEdges)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .select(explode(BucketPairsExpr(ms, maxBandBucket)).as("p"))
+      .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"),
+        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
       .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)

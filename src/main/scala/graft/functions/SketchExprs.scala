@@ -559,3 +559,74 @@ object L2NormExpr {
   def apply(embedding: Column): Column =
     ColumnBridge.column(L2NormExpr(ColumnBridge.expression(embedding)))
 }
+
+/** Fused bucket-pair synthesis: `bucket_pairs(ids, cap)` over a band
+  * bucket's member array emits the candidate-edge array the LSH/inverted-
+  * index aggregations explode — exhaustive `(least, greatest)`-ordered
+  * member pairs for buckets within `cap`, min-member-hub star edges past it
+  * (the hot-band guard; see `Dedup.minHashNearDuplicates`). Replaces the
+  * nested `transform`/`slice`/`flatten` HOF chain: higher-order functions
+  * evaluate their lambdas INTERPRETED per element (they never enter
+  * whole-stage codegen), so a k-member bucket paid ~k²/2 interpreted lambda
+  * dispatches plus a slice copy per member — measured as the largest single
+  * slice of `d_cc_components`' candidate phase at sf0.1. One tight loop
+  * emits the identical array (same pair order, same hub semantics, same
+  * (a, b) field order), generically over any orderable element type — ids
+  * (long/string) and the SimHash (doc_id, sig) member structs both ride it;
+  * ordering is Spark's own interpreted ordering, so `least`/`greatest`/
+  * `array_min` parity is exact. */
+case class BucketPairsExpr(child: Expression, cap: Int)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val ord: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", elemType, nullable = false),
+    StructField("b", elemType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bucket_pairs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val elems = new Array[Any](n)
+    var i = 0
+    while (i < n) { elems(i) = arr.get(i, elemType); i += 1 }
+    if (n <= cap) {
+      val out = new Array[Any](if (n < 2) 0 else n * (n - 1) / 2)
+      var k = 0
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val x = elems(i); val y = elems(j)
+          out(k) = if (ord.lteq(x, y)) InternalRow(x, y) else InternalRow(y, x)
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      var hub = elems(0)
+      i = 1
+      while (i < n) { if (ord.lt(elems(i), hub)) hub = elems(i); i += 1 }
+      val out = Array.newBuilder[Any]
+      out.sizeHint(n - 1)
+      i = 0
+      while (i < n) {
+        if (ord.compare(elems(i), hub) != 0) out += InternalRow(hub, elems(i))
+        i += 1
+      }
+      new GenericArrayData(out.result())
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketPairsExpr =
+    copy(child = newChild)
+}
+
+object BucketPairsExpr {
+  def apply(ids: Column, cap: Int): Column =
+    ColumnBridge.column(BucketPairsExpr(ColumnBridge.expression(ids), cap))
+}

@@ -1139,4 +1139,60 @@ class FunctionsSpec extends AnyFunSuite {
     val (x, y) = (src.getWidth / 2, src.getHeight / 2)
     assert((src.getRGB(x, y) & 0xffffff) == SyntheticCorpus.pixelAt(seed, x, y))
   }
+
+  test("BucketPairsExpr matches the HOF pair/star formulation on ids and member structs") {
+    import spark.implicits._
+    // long-id buckets: random sizes straddling the cap, incl. empty/1-elem
+    val rnd = new scala.util.Random(7)
+    val buckets = (0 until 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => rnd.nextInt(20).toLong + 100L).distinct)
+    }
+    val df = buckets.toDF("bucket", "ids")
+    val cap = 5
+    val hofPairs = {
+      val ids = col("ids")
+      val hub = array_min(ids)
+      val allPairs = flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+      val star = transform(filter(ids, x => x =!= hub), x => struct(hub.as("a"), x.as("b")))
+      when(size(ids) <= cap, allPairs).otherwise(star)
+    }
+    val got = df.select(col("bucket"), explode(graft.functions.BucketPairsExpr(col("ids"), cap)).as("p"))
+      .select(col("bucket"), col("p.a"), col("p.b")).collect().toSet
+    val want = df.select(col("bucket"), explode(hofPairs).as("p"))
+      .select(col("bucket"), col("p.a"), col("p.b")).collect().toSet
+    assert(got == want)
+    // pair ORDER within a bucket must also match (same emission sequence)
+    val gotSeq = df.select(col("bucket"), graft.functions.BucketPairsExpr(col("ids"), cap).as("ps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1)).toMap
+    val wantSeq = df.select(col("bucket"), hofPairs.as("ps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1)).toMap
+    assert(gotSeq == wantSeq)
+    // struct members (the SimHash shape): lexicographic struct ordering, min-struct hub
+    val sdf = Seq(
+      (1L, Seq((5L, 50L), (2L, 20L), (9L, 90L))),                  // exhaustive branch
+      (2L, Seq((7L, 70L), (3L, 30L), (8L, 80L), (1L, 10L), (4L, 40L), (6L, 60L))) // star branch
+    ).toDF("bucket", "ms")
+      .select(col("bucket"), transform(col("ms"),
+        m => struct(m.getField("_1").as("doc_id"), m.getField("_2").as("sig"))).as("ms"))
+    val sgot = sdf.select(col("bucket"), explode(graft.functions.BucketPairsExpr(col("ms"), 4)).as("p"))
+      .select(col("bucket"), col("p.a.doc_id"), col("p.b.doc_id"),
+        col("p.a.sig"), col("p.b.sig")).collect().toSet
+    val sortedMs = sort_array(col("ms"))
+    val sHof = {
+      val hub = element_at(sortedMs, 1)
+      val allPairs = flatten(transform(sortedMs, (x, i) =>
+        transform(slice(sortedMs, i + lit(2), size(sortedMs) - i - lit(1)), y =>
+          struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))
+      val star = transform(slice(sortedMs, lit(2), size(sortedMs) - 1), y =>
+        struct(hub.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+          hub.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))
+      when(size(col("ms")) <= 4, allPairs).otherwise(star)
+    }
+    val swant = sdf.select(col("bucket"), explode(sHof).as("p"))
+      .select(col("bucket"), col("p.a"), col("p.b"), col("p.sig_a"), col("p.sig_b")).collect().toSet
+    assert(sgot == swant)
+  }
 }
