@@ -153,11 +153,16 @@ object Packing {
     import spark.implicits._
     // null-text docs have null quality: by contract they are excluded from
     // BOTH the ranking and the denominator (an unscorable doc is not part
-    // of "the corpus" being pruned — mirrored in the t_quality_top oracle)
-    val q = documents.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+    // of "the corpus" being pruned — mirrored in the t_quality_top oracle).
+    // r07: the gate is `text IS NOT NULL` BEFORE the projection — equivalent
+    // (quality, hence bucket, is null iff text is null), but the former
+    // post-projection `bucket IS NOT NULL` alias-substituted into a Filter
+    // that re-ran the whole regex-heavy qualityScore per row below the
+    // Project (the same double-eval pattern fixed across Dedup this round)
+    val q = documents.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
       .withColumn("bucket", floor(col("quality") * 100).cast("int"))
-      .where(col("bucket").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = q.groupBy(col("bucket")).agg(count(lit(1)).as("bcnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
