@@ -62,6 +62,30 @@ object NgramProbe {
     (1 to 2).foreach { i =>
       t(s"full_cc_$i") { noop(Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs, 3, 0.5))) }
     }
+    // executed (AQE-final) plan via listener: the noop write's OWN
+    // QueryExecution carries the finalized adaptive plan with runtime
+    // ReusedExchange nodes, which neither a pre-execution explain nor a
+    // foreach-path QueryExecution shows
+    @volatile var lastPlan: String = ""
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        lastPlan = qe.executedPlan.toString
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val pf = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    noop(pf)
+    Thread.sleep(1500)
+    val ep = lastPlan
+    println("NGRAMPROBE executed_reused=" +
+      "ReusedExchange".r.findAllIn(ep).length +
+      " executed_scans=" + "Scan parquet".r.findAllIn(ep).length)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/ngram_executed.txt"), ep)
     spark.stop()
   }
 }

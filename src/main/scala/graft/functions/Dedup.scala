@@ -676,7 +676,14 @@ object Dedup {
     //             pure hash-array arithmetic on the candidate set:
     //             |A∩B|_true = ic + |hot_A ∩ hot_B| — same integers, same
     //             doubles, same rounding as the full-array Jaccard.
-    val inv = documents.select(col("doc_id"), explode(ShingleHashExpr(col("text"), n)).as("g"))
+    // explicit (vacuously true for any sane corpus) doc_id null-gate: the
+    // downstream inner joins push `isnotnull(a)`/`isnotnull(b)` into the two
+    // stats branches but not into the bucket branch, de-canonicalizing the
+    // three consumers of this subtree and defeating exchange reuse (the
+    // Packing.packByCount bucket-gate trick). Output is unchanged either
+    // way: a null doc_id never survives collect_list or the candidate joins.
+    val inv = documents.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(ShingleHashExpr(col("text"), n)).as("g"))
     // document-frequency cap: shingle sets are distinct per doc, so count = df.
     // The cap is applied as a LEFT ANTI join against the HOT set (df > cap) —
     // the inverse of a keep-set semi join. The hot set is small by
@@ -687,14 +694,21 @@ object Dedup {
     // The df aggregate itself partial-aggregates map-side — hot shingles
     // combine before the shuffle, never hot-spotting one reducer.
     val hot = inv.groupBy("g").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDocFreq).select(col("g"))
+      .where(col("df") > maxDocFreq).select(col("g"), lit(true).as("ih"))
+    // ONE hot-marking left join shared by both aggregations: expressing the
+    // under-cap restriction as `ih IS NULL` over the SAME left join (hot g
+    // is unique, so no row multiplication; exact anti-join semantics) keeps
+    // the two broadcast subtrees identical, so the df-aggregate broadcast
+    // builds once and is exchange-reused — the former left_anti/left pair
+    // de-canonicalized under column pruning and built it twice
+    val marked = inv.join(broadcast(hot), Seq("g"), "left")
     // under-cap buckets (≤ maxDocFreq members each): candidate pairs and
     // their intersection cardinality from ONE aggregation — each bucket
     // emits its (least, greatest)-ordered member pairs in-row, and the
     // count per (a, b) IS |A∩B| over the capped sets (each shared under-cap
     // shingle contributes its pair exactly once)
     val ids = col("ids")
-    val ic = inv.join(broadcast(hot), Seq("g"), "left_anti")
+    val ic = marked.where(col("ih").isNull)
       .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ids"))
       .where(size(ids) > 1)
       // uncapped (maxDocFreq bounds every bucket) fused pair synthesis —
@@ -706,8 +720,7 @@ object Dedup {
     // per-doc stats in ONE aggregate: total distinct-shingle count (inv rows
     // per doc) + the doc's hot shingles (collect_list skips the nulls the
     // `when` leaves for under-cap rows; bounded by the doc's own length)
-    val stats = inv
-      .join(broadcast(hot.withColumn("ih", lit(true))), Seq("g"), "left")
+    val stats = marked
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_all"),
         collect_list(when(col("ih"), col("g"))).as("hg"))
