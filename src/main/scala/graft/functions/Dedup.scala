@@ -957,13 +957,16 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // norms computed ONCE per row here, never per candidate pair; the
-    // candidate-id semi join (pushed below the projection, same r07 pattern
-    // as [[minHashNearDuplicates]]'s verify) keeps the norm eval — and the
-    // payload feeding the scoring joins — restricted to candidate vectors
+    // candidate-id semi join sits BELOW the norm projection (built
+    // explicitly — the optimizer leaves a join above an existing projection
+    // in place, same r07 lesson as [[minHashNearDuplicates]]'s verify), so
+    // the norm eval — and the payload feeding the scoring joins — is
+    // restricted to candidate vectors
     val candIds = cand.select(explode(array(col("a"), col("b"))).as("vec_id")).distinct()
-    val feats = embeddings.select(col("vec_id"), col("embedding"),
-      graft.functions.L2NormExpr(col("embedding")).as("norm"))
+    val feats = embeddings
       .join(broadcast(candIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.L2NormExpr(col("embedding")).as("norm"))
     val fa = feats.select(col("vec_id").as("a"), col("embedding").as("va"), col("norm").as("na"))
     val fb = feats.select(col("vec_id").as("b"), col("embedding").as("vb"), col("norm").as("nb"))
     cand.join(fa, "a").join(fb, "b")
