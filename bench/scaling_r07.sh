@@ -5,15 +5,19 @@
 # pinned to exactly N CPUs (taskset + -XX:ActiveProcessorCount), levels
 # interleaved to cancel host drift, min per level.
 #
-# Usage: bench/scaling_r07.sh [N=8] [mult=4] [reps=2] [roundsPerRep=2]
+# Usage: bench/scaling_r07.sh [N=8] [mult=40] [rawMult=8] [reps=2] [roundsPerRep=1]
+# mult/rawMult default to sizes that put every op >>10s at 4N cores — a
+# first run at mult=4 produced ~2s jobs whose eff_4 (~0.28) measured only
+# fixed plan/jit overhead, not the operators (min job-size rule in the
+# verify skill).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-N=${1:-8}; MULT=${2:-4}; REPS=${3:-2}; ROUNDS=${4:-2}
+N=${1:-8}; MULT=${2:-40}; RAWMULT=${3:-8}; REPS=${4:-2}; ROUNDS=${5:-1}
 H=$((N * 4))
 LOG=/tmp/graft_r07_scaling.log
 : > $LOG
 
-sbt -batch "runMain graft.ScalingR07 gen $MULT" >> $LOG 2>&1
+sbt -batch "runMain graft.ScalingR07 gen $MULT $RAWMULT" >> $LOG 2>&1
 
 run_level() { # cores
   local c=$1
